@@ -1,0 +1,198 @@
+"""Fixed-shape, mask-based point-cloud geometry primitives.
+
+Behavioral parity targets (reference, CUDA/torch):
+  - square_distance / index_points / query_ball_point / sample_and_group:
+    pointcloud_vision/models/pointnet2_utils.py:20-164
+  - knn_point: pointcloud_vision/models/pointmlp.py:106-124
+
+TPU-first design notes:
+  * Everything is static-shape. Ragged semantics ("drop points outside the
+    bbox", "pad groups with the first index") become boolean masks: invalid
+    points stay in the array but carry mask=False and are excluded from
+    distance competitions by +inf masking.
+  * Pairwise distances use the matmul expansion |x|^2 - 2<x,y> + |y|^2 so the
+    O(N*M*C) work lands on the MXU; `method='direct'` keeps an exact
+    squared-difference path for parity tests (fp32 accumulation order).
+  * No atomics anywhere: selections are argmax/top_k reductions, which are
+    deterministic on TPU (unlike the reference's atomicAdd/atomicMax kernels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_BIG = jnp.float32(1e10)  # used instead of +inf: keeps top_k/argsort well-defined
+
+
+def pairwise_sqdist(src: Array, dst: Array, method: str = "matmul") -> Array:
+    """Pairwise squared euclidean distance.
+
+    src: (..., N, C), dst: (..., M, C) -> (..., N, M).
+
+    Parity: pointnet2_utils.py:20-41 (same matmul expansion). The result is
+    clamped at 0 to remove negative fp round-off, which the reference doesn't
+    do — clamping only reduces error vs the exact value.
+    """
+    if method == "direct":
+        diff = src[..., :, None, :] - dst[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)  # (..., N, 1)
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)  # (..., M, 1)
+    # HIGHEST precision: the contraction dim is tiny (C=3..6), so full-fp32
+    # MXU passes cost nothing, while the TPU default (bf16 inputs) would
+    # break the <=1e-5 chamfer parity target (BASELINE.json).
+    cross = jnp.einsum(
+        "...nc,...mc->...nm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2), 0.0)
+
+
+def index_points(points: Array, idx: Array) -> Array:
+    """Batched gather: points (B, N, C), idx (B, *I) int -> (B, *I, C).
+
+    Parity: pointnet2_utils.py:44-61.
+    """
+    B = points.shape[0]
+    C = points.shape[-1]
+    flat = idx.reshape(B, -1)
+    out = jnp.take_along_axis(points, flat[..., None].astype(jnp.int32), axis=1)
+    return out.reshape(*idx.shape, C)
+
+
+def knn(k: int, xyz: Array, new_xyz: Array, mask: Array | None = None):
+    """k nearest neighbors of each query in `new_xyz` among `xyz`.
+
+    xyz: (B, N, C), new_xyz: (B, S, C), mask: (B, N) bool (True = valid).
+    Returns (idx (B, S, k) int32, sqdists (B, S, k)).
+
+    Parity: pointmlp.py:106-124 (knn_point). Masked-out points never win.
+    """
+    d = pairwise_sqdist(new_xyz, xyz)  # (B, S, N)
+    if mask is not None:
+        d = jnp.where(mask[..., None, :], d, _BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32), -neg_d
+
+
+def ball_query(
+    radius: float,
+    k: int,
+    xyz: Array,
+    new_xyz: Array,
+    mask: Array | None = None,
+):
+    """Indices of up to `k` points of `xyz` within `radius` of each query.
+
+    Returns (idx (B, S, k) int32, in_ball (B, S, k) bool). Slots with fewer
+    than k in-radius points are padded with the nearest in-radius index
+    (slot 0), matching the reference's "pad with group_first" behavior
+    (pointnet2_utils.py:93-113). Unlike the reference (which keeps the first
+    k *by index order*), we keep the k *nearest* — same set semantics, a
+    strictly better geometric choice, and a single top_k on TPU.
+    """
+    d = pairwise_sqdist(new_xyz, xyz)  # (B, S, N)
+    valid = d <= radius * radius
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[..., None, :])
+    d = jnp.where(valid, d, _BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    in_ball = -neg_d < _BIG
+    idx = jnp.where(in_ball, idx, idx[..., :1])
+    return idx.astype(jnp.int32), in_ball
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: Array,
+    features: Array | None,
+    mask: Array | None = None,
+    use_knn: bool = False,
+):
+    """FPS-downsample then group local neighborhoods (set-abstraction input).
+
+    xyz: (B, N, 3), features: (B, N, F) or None, mask: (B, N) bool.
+    Returns:
+      new_xyz (B, npoint, 3) — FPS centroids,
+      grouped (B, npoint, nsample, 3+F) — centered xyz (+ features),
+      group_mask (B, npoint, nsample) bool,
+      new_mask (B, npoint) bool.
+
+    Parity: pointnet2_utils.py:116-144.
+    """
+    from pointcloud_tpu.ops.fps import farthest_point_sample
+
+    fps_idx = farthest_point_sample(xyz, npoint, mask=mask)  # (B, npoint)
+    new_xyz = index_points(xyz, fps_idx)
+    if mask is not None:
+        new_mask = jnp.take_along_axis(mask, fps_idx, axis=1)
+    else:
+        new_mask = jnp.ones(fps_idx.shape, dtype=bool)
+
+    if use_knn:
+        idx, _ = knn(nsample, xyz, new_xyz, mask=mask)
+        group_mask = jnp.ones(idx.shape, dtype=bool)
+    else:
+        idx, group_mask = ball_query(radius, nsample, xyz, new_xyz, mask=mask)
+
+    grouped_xyz = index_points(xyz, idx)  # (B, npoint, nsample, 3)
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feat = index_points(features, idx)
+        grouped = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    else:
+        grouped = grouped_xyz
+    group_mask = jnp.logical_and(group_mask, new_mask[..., None])
+    return new_xyz, grouped, group_mask, new_mask
+
+
+def sample_and_group_all(xyz: Array, features: Array | None, mask: Array | None = None):
+    """Group the whole cloud into a single neighborhood at the origin.
+
+    Parity: pointnet2_utils.py:147-164.
+    Returns new_xyz (B, 1, 3)=0, grouped (B, 1, N, 3+F), group_mask (B, 1, N).
+    """
+    B, N, _ = xyz.shape
+    new_xyz = jnp.zeros((B, 1, 3), dtype=xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped = jnp.concatenate([grouped_xyz, features[:, None, :, :]], axis=-1)
+    else:
+        grouped = grouped_xyz
+    if mask is None:
+        group_mask = jnp.ones((B, 1, N), dtype=bool)
+    else:
+        group_mask = mask[:, None, :]
+    return new_xyz, grouped, group_mask, jnp.ones((B, 1), dtype=bool)
+
+
+def three_nn_interpolate(
+    xyz_to: Array,
+    xyz_from: Array,
+    features_from: Array,
+    mask_from: Array | None = None,
+    eps: float = 1e-8,
+):
+    """Inverse-distance-weighted 3-NN feature upsampling.
+
+    Parity: PointNetFeaturePropagation core, pointnet2_utils.py:271-321
+    (defined but unused by the reference's trained models; provided for
+    completeness of the op library).
+    xyz_to: (B, N, 3), xyz_from: (B, S, 3), features_from: (B, S, F).
+    Returns (B, N, F).
+    """
+    idx, d = knn(3, xyz_from, xyz_to, mask=mask_from)  # (B, N, 3)
+    w = 1.0 / (d + eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    neighbors = index_points(features_from, idx)  # (B, N, 3, F)
+    return jnp.sum(neighbors * w[..., None], axis=-2)

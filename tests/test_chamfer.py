@@ -1,0 +1,93 @@
+"""Chamfer parity tests vs a PyTorch oracle (BASELINE.json: <=1e-5 parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from pointcloud_tpu.ops import chamfer_distance, masked_chamfer
+
+
+def torch_chamfer(x, y, y_lengths=None):
+    """pytorch3d-convention chamfer: mean-over-points both ways, mean over batch."""
+    x, y = torch.from_numpy(x), torch.from_numpy(y)
+    d = torch.cdist(x, y) ** 2  # (B, N, M)
+    B, N, M = d.shape
+    if y_lengths is not None:
+        for b in range(B):
+            d[b, :, y_lengths[b] :] = float("inf")
+    min_x = d.min(dim=2).values  # (B, N)
+    min_y = d.min(dim=1).values  # (B, M)
+    cham_x = min_x.mean(dim=1)
+    if y_lengths is not None:
+        cham_y = torch.stack(
+            [min_y[b, : y_lengths[b]].mean() for b in range(B)]
+        )
+    else:
+        cham_y = min_y.mean(dim=1)
+    return (cham_x + cham_y).mean().item()
+
+
+def test_chamfer_parity_unmasked(rng):
+    x = rng.random((4, 256, 3), dtype=np.float32)
+    y = rng.random((4, 256, 3), dtype=np.float32)
+    want = torch_chamfer(x, y)
+    got = float(chamfer_distance(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - want) <= 1e-5, (got, want)
+    got_direct = float(
+        chamfer_distance(jnp.asarray(x), jnp.asarray(y), method="direct")
+    )
+    assert abs(got_direct - want) <= 1e-6
+
+
+def test_chamfer_parity_2048pts(rng):
+    """The headline parity config: 2048-point clouds in the unit cube."""
+    x = rng.random((2, 2048, 3), dtype=np.float32)
+    y = rng.random((2, 2048, 3), dtype=np.float32)
+    want = torch_chamfer(x, y)
+    got = float(chamfer_distance(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - want) <= 1e-5, (got, want)
+
+
+def test_chamfer_masked_equals_torch_ragged(rng):
+    """y-mask reproduces pytorch3d's y_lengths ragged support
+    (reference FilteringChamferDistance, utils.py:213-228)."""
+    x = rng.random((3, 128, 3), dtype=np.float32)
+    y = rng.random((3, 128, 3), dtype=np.float32)
+    y_lengths = np.array([128, 60, 97])
+    want = torch_chamfer(x, y.copy(), y_lengths)
+    y_mask = np.arange(128)[None, :] < y_lengths[:, None]
+    got = float(
+        chamfer_distance(jnp.asarray(x), jnp.asarray(y), y_mask=jnp.asarray(y_mask))
+    )
+    assert abs(got - want) <= 1e-5
+
+
+def test_chamfer_zero_for_identical(rng):
+    x = rng.random((2, 64, 3), dtype=np.float32)
+    got = float(chamfer_distance(jnp.asarray(x), jnp.asarray(x)))
+    assert got <= 1e-6
+
+
+def test_chamfer_gradients_flow(rng):
+    x = jnp.asarray(rng.random((2, 32, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 32, 3), dtype=np.float32))
+    g = jax.grad(lambda a: chamfer_distance(a, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_chamfer_batch_reduction_none(rng):
+    x = rng.random((3, 16, 3), dtype=np.float32)
+    y = rng.random((3, 16, 3), dtype=np.float32)
+    per = chamfer_distance(jnp.asarray(x), jnp.asarray(y), batch_reduction=None)
+    assert per.shape == (3,)
+    mean = float(chamfer_distance(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(float(jnp.mean(per)), mean, rtol=1e-6)
+
+
+def test_masked_chamfer_directed(rng):
+    x = rng.random((1, 16, 3), dtype=np.float32)
+    y = x + 0.0
+    cx, cy = masked_chamfer(jnp.asarray(x), jnp.asarray(y))
+    assert float(cx[0]) <= 1e-7 and float(cy[0]) <= 1e-7
