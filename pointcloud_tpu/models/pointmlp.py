@@ -1,0 +1,247 @@
+"""PointMLP encoder (reference: models/pointmlp.py:125-357).
+
+Residual point MLP: per-point embedding, then 4 stages of
+{LocalGrouper (FPS + kNN + learnable affine normalization), PreExtraction
+(shared residual MLP over each neighborhood, max-pool), PosExtraction
+(residual MLP over groups)}, finished by a global max-pool to 1024-d.
+
+Factory configs `PointMLP` (embed 64, res_expansion 1.0) and
+`PointMLPElite` (embed 32, res_expansion 0.25) match pointmlp.py:333-349.
+Like the reference, only xyz drives this backbone (the embedding consumes 3
+channels); extra feature dims are sliced off.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointcloud_tpu.ops.fps import farthest_point_sample
+from pointcloud_tpu.ops.geometry import index_points, knn
+
+Array = jax.Array
+
+
+class DenseBNAct(nn.Module):
+    """Pointwise Dense + BatchNorm + ReLU (reference ConvBNReLU1D,
+    pointmlp.py:182-194)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    """Residual pointwise block (reference ConvBNReLURes1D, pointmlp.py:196-224,
+    groups=1 path): Dense->BN->ReLU (expand) -> Dense->BN (project) + skip."""
+
+    channels: int
+    res_expansion: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = DenseBNAct(int(self.channels * self.res_expansion), self.use_bias)(
+            x, train=train
+        )
+        h = nn.Dense(self.channels, use_bias=self.use_bias)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        return nn.relu(h + x)
+
+
+class LocalGrouper(nn.Module):
+    """FPS + kNN grouping with learnable affine normalization
+    (reference pointmlp.py:125-178).
+
+    Input xyz (B, N, 3), feats (B, N, D); output new_xyz (B, G, 3),
+    grouped (B, G, K, 2D[+3...]) = [normalized neighbor feats || anchor feat].
+    """
+
+    groups: int
+    kneighbors: int
+    use_xyz: bool = False
+    normalize: str | None = "anchor"  # 'center' | 'anchor' | None
+
+    @nn.compact
+    def __call__(self, xyz, feats, mask: Array | None = None):
+        B, N, _ = xyz.shape
+        fps_idx = farthest_point_sample(xyz, self.groups, mask=mask)
+        new_xyz = index_points(xyz, fps_idx)  # (B, G, 3)
+        new_feats = index_points(feats, fps_idx)  # (B, G, D)
+        idx, _ = knn(self.kneighbors, xyz, new_xyz, mask=mask)
+        grouped_xyz = index_points(xyz, idx)  # (B, G, K, 3)
+        grouped = index_points(feats, idx)  # (B, G, K, D)
+        if self.use_xyz:
+            grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+
+        if self.normalize is not None:
+            if self.normalize == "center":
+                mean = jnp.mean(grouped, axis=2, keepdims=True)
+            else:  # anchor
+                mean = (
+                    jnp.concatenate([new_feats, new_xyz], axis=-1)
+                    if self.use_xyz
+                    else new_feats
+                )[:, :, None, :]
+            # per-batch-element std over all groups/neighbors/channels
+            # (reference pointmlp.py:174: torch.std over the flattened rest,
+            # unbiased)
+            centered = grouped - mean
+            var = jnp.var(centered.reshape(B, -1), axis=-1)
+            n = centered.reshape(B, -1).shape[-1]
+            std = jnp.sqrt(var * n / max(n - 1, 1))[:, None, None, None]
+            grouped = centered / (std + 1e-5)
+            dim = grouped.shape[-1]
+            alpha = self.param("affine_alpha", nn.initializers.ones, (1, 1, 1, dim))
+            beta = self.param("affine_beta", nn.initializers.zeros, (1, 1, 1, dim))
+            grouped = alpha * grouped + beta
+
+        anchor = jnp.broadcast_to(
+            new_feats[:, :, None, :],
+            (*grouped.shape[:3], new_feats.shape[-1]),
+        )
+        grouped = jnp.concatenate([grouped, anchor], axis=-1)
+        if mask is not None:
+            new_mask = jnp.take_along_axis(mask, fps_idx, axis=1)
+        else:
+            new_mask = None
+        return new_xyz, grouped, new_mask
+
+
+class PreExtraction(nn.Module):
+    """Per-neighborhood residual MLP + max-pool over K
+    (reference pointmlp.py:227-256). (B, G, K, D) -> (B, G, C)."""
+
+    out_channels: int
+    blocks: int = 1
+    res_expansion: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DenseBNAct(self.out_channels, self.use_bias)(x, train=train)
+        for _ in range(self.blocks):
+            x = ResBlock(self.out_channels, self.res_expansion, self.use_bias)(
+                x, train=train
+            )
+        return jnp.max(x, axis=2)
+
+
+class PosExtraction(nn.Module):
+    """Residual MLP over groups (reference pointmlp.py:259-274)."""
+
+    channels: int
+    blocks: int = 1
+    res_expansion: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.blocks):
+            x = ResBlock(self.channels, self.res_expansion, self.use_bias)(
+                x, train=train
+            )
+        return x
+
+
+class PointMLPModel(nn.Module):
+    """Full PointMLP backbone -> (B, 1024) (reference Model, pointmlp.py:277-331)."""
+
+    ENCODING_DIM = 1024
+
+    points: int = 2048
+    embed_dim: int = 64
+    res_expansion: float = 1.0
+    use_bias: bool = False
+    use_xyz: bool = False
+    normalize: str = "anchor"
+    dim_expansion: Sequence[int] = (2, 2, 2, 2)
+    pre_blocks: Sequence[int] = (2, 2, 2, 2)
+    pos_blocks: Sequence[int] = (2, 2, 2, 2)
+    k_neighbors: Sequence[int] = (24, 24, 24, 24)
+    reducers: Sequence[int] = (2, 2, 2, 2)
+
+    @property
+    def encoding_dim(self) -> int:
+        """Actual output width: embed_dim * prod(dim_expansion).
+
+        1024 for PointMLP, 256 for PointMLPElite. (The reference pins
+        ENCODING_DIM=1024 on the class, pointmlp.py:279, which is wrong for
+        the Elite config — heads here read the computed value.)
+        """
+        d = self.embed_dim
+        for e in self.dim_expansion:
+            d *= e
+        return d
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        xyz = x[..., :3]
+        feats = DenseBNAct(self.embed_dim, self.use_bias)(xyz, train=train)
+        anchor_points = xyz.shape[1]
+        last_channel = self.embed_dim
+        for i in range(len(self.pre_blocks)):
+            out_channel = last_channel * self.dim_expansion[i]
+            anchor_points = anchor_points // self.reducers[i]
+            xyz, grouped, mask = LocalGrouper(
+                groups=anchor_points,
+                kneighbors=self.k_neighbors[i],
+                use_xyz=self.use_xyz,
+                normalize=self.normalize,
+            )(xyz, feats, mask=mask)
+            feats = PreExtraction(
+                out_channel, self.pre_blocks[i], self.res_expansion, self.use_bias
+            )(grouped, train=train)
+            feats = PosExtraction(
+                out_channel, self.pos_blocks[i], self.res_expansion, self.use_bias
+            )(feats, train=train)
+            last_channel = out_channel
+        return jnp.max(feats, axis=1)  # (B, 1024)
+
+
+def PointMLP(points: int = 2048, **kwargs) -> PointMLPModel:
+    """Factory matching reference pointmlp.py:333-339."""
+    kwargs.pop("space_dims", None)
+    kwargs.pop("feature_dims", None)
+    return PointMLPModel(
+        points=points,
+        embed_dim=64,
+        res_expansion=1.0,
+        use_bias=False,
+        use_xyz=False,
+        normalize="anchor",
+        dim_expansion=(2, 2, 2, 2),
+        pre_blocks=(2, 2, 2, 2),
+        pos_blocks=(2, 2, 2, 2),
+        k_neighbors=(24, 24, 24, 24),
+        reducers=(2, 2, 2, 2),
+        **kwargs,
+    )
+
+
+def PointMLPElite(points: int = 2048, **kwargs) -> PointMLPModel:
+    """Factory matching reference pointmlp.py:342-349."""
+    kwargs.pop("space_dims", None)
+    kwargs.pop("feature_dims", None)
+    return PointMLPModel(
+        points=points,
+        embed_dim=32,
+        res_expansion=0.25,
+        use_bias=False,
+        use_xyz=False,
+        normalize="anchor",
+        dim_expansion=(2, 2, 2, 1),
+        pre_blocks=(1, 1, 2, 1),
+        pos_blocks=(1, 1, 2, 1),
+        k_neighbors=(24, 24, 24, 24),
+        reducers=(2, 2, 2, 2),
+        **kwargs,
+    )

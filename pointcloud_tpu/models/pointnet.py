@@ -1,0 +1,123 @@
+"""PointNet encoder (reference: pointcloud_vision/models/pointnet.py:12-204).
+
+Classic PointNet: a spatial transformer (STN) predicts a 3x3 transform for
+the xyz coords (features pass through untouched), a 64-d feature STN
+transforms mid-level features, then a shared MLP stack with BatchNorm and a
+global max-pool produce the 1024-d encoding.
+
+TPU-native layout: channels-last (B, N, C); the shared "Conv1d(k=1)" stacks
+are pointwise Dense layers, which XLA fuses into (B*N, C) matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Large negative value for masked max-pool (valid activations are post-ReLU
+# or BN outputs with magnitude << 1e9).
+_NEG = -1e9
+
+
+def masked_max(x: Array, mask: Array | None, axis: int) -> Array:
+    """Global max-pool that ignores masked-out points."""
+    if mask is not None:
+        x = jnp.where(jnp.expand_dims(mask, -1), x, _NEG)
+    return jnp.max(x, axis=axis)
+
+
+class PointwiseMLP(nn.Module):
+    """Shared per-point MLP: Dense + BatchNorm (+ ReLU) per layer.
+
+    Equivalent to the reference's Conv1d(kernel=1)+BatchNorm1d stacks.
+    `final_activation=False` leaves the last layer linear (pre-max-pool
+    conv3+bn3 in the reference has no ReLU, pointnet.py:159-161).
+    """
+
+    features: tuple
+    final_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            if self.final_activation or i < len(self.features) - 1:
+                x = nn.relu(x)
+        return x
+
+
+class STN(nn.Module):
+    """Spatial transformer predicting a k x k transform (STN3d/STNkd,
+    reference pointnet.py:12-91). Input (B, N, C) -> (B, k, k)."""
+
+    k: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        h = PointwiseMLP((64, 128, 1024))(x, train=train)
+        h = masked_max(h, mask, axis=1)  # (B, 1024)
+        for f in (512, 256):
+            h = nn.Dense(f)(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = nn.relu(h)
+        h = nn.Dense(self.k * self.k, kernel_init=nn.initializers.zeros)(h)
+        iden = jnp.eye(self.k, dtype=h.dtype).reshape(1, self.k * self.k)
+        return (h + iden).reshape(-1, self.k, self.k)
+
+
+class PointNetEncoder(nn.Module):
+    """PointNet global encoder -> (B, 1024).
+
+    space_dims coords are transformed by the input STN; remaining
+    feature_dims pass through (reference pointnet.py:133-148).
+    """
+
+    ENCODING_DIM = 1024
+
+    space_dims: int = 3
+    feature_dims: int = 3
+    input_transform: bool = True
+    feature_transform: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        if self.input_transform:
+            trans = STN(k=self.space_dims)(x, train=train, mask=mask)
+            xyz = jnp.einsum("bnc,bcd->bnd", x[..., : self.space_dims], trans)
+            x = jnp.concatenate([xyz, x[..., self.space_dims :]], axis=-1)
+
+        x = PointwiseMLP((64, 64))(x, train=train)
+
+        if self.feature_transform:
+            ftrans = STN(k=64)(x, train=train, mask=mask)
+            x = jnp.einsum("bnc,bcd->bnd", x, ftrans)
+
+        x = PointwiseMLP((64, 128))(x, train=train)
+        x = PointwiseMLP((1024,), final_activation=False)(x, train=train)
+        return masked_max(x, mask, axis=1)  # (B, 1024)
+
+    def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
+        """Per-point (64-d) + tiled global features, (B, N, 64+1024)
+        (reference forward_all_features, pointnet.py:166-200)."""
+        # Note: runs the same submodules via __call__-style compact reuse is
+        # not possible outside apply; use apply(..., method=...) with this.
+        if self.input_transform:
+            trans = STN(k=self.space_dims)(x, train=train, mask=mask)
+            xyz = jnp.einsum("bnc,bcd->bnd", x[..., : self.space_dims], trans)
+            x = jnp.concatenate([xyz, x[..., self.space_dims :]], axis=-1)
+        x = PointwiseMLP((64, 64))(x, train=train)
+        if self.feature_transform:
+            ftrans = STN(k=64)(x, train=train, mask=mask)
+            x = jnp.einsum("bnc,bcd->bnd", x, ftrans)
+        pointfeat = x
+        x = PointwiseMLP((64, 128))(x, train=train)
+        x = PointwiseMLP((1024,))(x, train=train)
+        glob = masked_max(x, mask, axis=1)
+        glob_tiled = jnp.broadcast_to(
+            glob[:, None, :], (x.shape[0], x.shape[1], glob.shape[-1])
+        )
+        return jnp.concatenate([pointfeat, glob_tiled], axis=-1)

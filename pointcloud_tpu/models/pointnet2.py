@@ -1,0 +1,89 @@
+"""PointNet++ encoder (reference: models/pointnet2.py:7-41 +
+models/pointnet2_utils.py:167-268).
+
+Three set-abstraction (SA) levels: FPS-downsample, ball-query group, shared
+MLP over each neighborhood, max-pool per group. The grouping ops come from
+pointcloud_tpu.ops (FPS / ball_query / gather are the reference's CUDA
+kernels, here XLA/Pallas); the per-group MLP is a pointwise Dense stack on
+(B, S, K, C) tensors — one big MXU matmul per layer.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointcloud_tpu.ops.geometry import sample_and_group, sample_and_group_all
+
+Array = jax.Array
+_NEG = -1e9
+
+
+class SetAbstraction(nn.Module):
+    """One SA level (reference PointNetSetAbstraction, pointnet2_utils.py:167-208).
+
+    npoint/radius/nsample control FPS + ball query; `group_all` collapses the
+    cloud into one group (final level). The shared MLP runs with BatchNorm
+    over (B, S, K, C) then max-pools over K, excluding out-of-ball padding.
+    """
+
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: tuple
+    group_all: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        features: Array | None,
+        train: bool = False,
+        mask: Array | None = None,
+    ):
+        if self.group_all:
+            new_xyz, grouped, gmask, new_mask = sample_and_group_all(
+                xyz, features, mask=mask
+            )
+        else:
+            new_xyz, grouped, gmask, new_mask = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, features, mask=mask
+            )
+        x = grouped  # (B, S, K, 3+F)
+        for f in self.mlp:
+            x = nn.Dense(f)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+        x = jnp.where(gmask[..., None], x, _NEG)
+        new_features = jnp.max(x, axis=2)  # (B, S, C_out)
+        return new_xyz, new_features, new_mask
+
+
+class PointNet2Encoder(nn.Module):
+    """PointNet++ SSG global encoder -> (B, 1024) (reference pointnet2.py:7-41).
+
+    Input (B, N, space_dims + feature_dims); xyz drives geometry, extra dims
+    ride along as features.
+    """
+
+    ENCODING_DIM = 1024
+
+    space_dims: int = 3
+    feature_dims: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        xyz = x[..., : self.space_dims]
+        feats = x[..., self.space_dims :] if self.feature_dims > 0 else None
+
+        xyz, feats, mask = SetAbstraction(
+            npoint=512, radius=0.2, nsample=32, mlp=(64, 64, 128)
+        )(xyz, feats, train=train, mask=mask)
+        xyz, feats, mask = SetAbstraction(
+            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256)
+        )(xyz, feats, train=train, mask=mask)
+        _, feats, _ = SetAbstraction(
+            npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024), group_all=True
+        )(xyz, feats, train=train, mask=mask)
+        return feats[:, 0, :]  # (B, 1024)

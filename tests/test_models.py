@@ -1,0 +1,175 @@
+"""Model-zoo tests: shapes, contracts, BatchNorm state, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_tpu.models import (
+    AE,
+    MultiGTEncoder,
+    MultiSegAE,
+    PointNet2Encoder,
+    PointNetEncoder,
+    SegAE,
+    backbone_factory,
+)
+from pointcloud_tpu.models.architectures import encoding_dim_of
+from pointcloud_tpu.models.pointmlp import PointMLPElite
+
+B, N = 2, 128
+
+
+def init_and_run(model, x, method=None):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    fn = model.apply
+    if method is None:
+        out = fn(variables, x, train=False)
+    else:
+        out = fn(variables, x, train=False, method=method)
+    return variables, out
+
+
+@pytest.fixture
+def cloud(rng):
+    return jnp.asarray(rng.random((B, N, 6), dtype=np.float32))
+
+
+def test_pointnet_encoding_shape(cloud):
+    model = PointNetEncoder(space_dims=3, feature_dims=3)
+    _, enc = init_and_run(model, cloud)
+    assert enc.shape == (B, 1024)
+    assert model.ENCODING_DIM == 1024
+
+
+def test_pointnet2_encoding_shape(cloud):
+    model = PointNet2Encoder(space_dims=3, feature_dims=3)
+    _, enc = init_and_run(model, cloud)
+    assert enc.shape == (B, 1024)
+
+
+def test_pointmlp_factories(rng):
+    x = jnp.asarray(rng.random((B, 256, 3), dtype=np.float32))
+    model = backbone_factory["PointMLP"](points=256, feature_dims=3)
+    _, enc = init_and_run(model, x)
+    assert enc.shape == (B, 1024)
+    elite = PointMLPElite(points=256)
+    assert encoding_dim_of(elite) == 256
+    _, enc_e = init_and_run(elite, x)
+    assert enc_e.shape == (B, 256)
+
+
+def test_ae_output_in_unit_cube(cloud):
+    model = AE(PointNetEncoder(), out_points=64, out_dim=6, bottleneck=16)
+    _, out = init_and_run(model, cloud)
+    assert out.shape == (B, 64, 6)
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0  # sigmoid output
+
+
+def test_ae_encode_bottleneck(cloud):
+    model = AE(PointNetEncoder(), out_points=64, out_dim=6, bottleneck=16)
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=False)
+    enc = model.apply(variables, cloud, train=False, method=model.encode)
+    assert enc.shape == (B, 16)
+
+
+def test_segae_output_split(cloud):
+    model = SegAE(PointNetEncoder(), num_classes=5, out_points=64, bottleneck=16)
+    _, out = init_and_run(model, cloud)
+    assert out.shape == (B, 64, 8)
+    o = np.asarray(out)
+    assert o[..., :3].min() >= 0 and o[..., :3].max() <= 1  # xyz sigmoid
+    assert o[..., 3:].min() < 0 or o[..., 3:].max() > 1  # raw logits
+
+
+def test_multisegae_forward_and_labeled(cloud):
+    model = MultiSegAE(
+        preencoder=PointNetEncoder(),
+        class_labels={"cube": 1, "arm": 2},
+        name_points_dims=(("cube", 32, 3), ("arm", 48, 7)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=False)
+    out = model.apply(variables, cloud, train=False)
+    assert out["cube"].shape == (B, 32, 3)
+    assert out["arm"].shape == (B, 48, 3)
+    enc = model.apply(variables, cloud, train=False, method=model.encode)
+    assert enc["cube"].shape == (B, 3) and enc["arm"].shape == (B, 7)
+    flat = model.apply(variables, cloud, train=False, method=model.encode_flat)
+    assert flat.shape == (B, 10)
+    labeled = model.apply(
+        variables, cloud, train=False, method=model.reconstruct_labeled
+    )
+    assert labeled.shape == (B, 80, 4)
+    labels = np.unique(np.asarray(labeled)[..., 3])
+    assert set(labels.tolist()) == {1.0, 2.0}
+
+
+def test_multigt_encoder(cloud):
+    model = MultiGTEncoder(
+        preencoder=PointNetEncoder(),
+        state_dims={"cube_pos": 3, "eef_pos": 3},
+    )
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=False)
+    out = model.apply(variables, cloud, train=False)
+    assert out["cube_pos"].shape == (B, 3)
+    o = np.asarray(out["cube_pos"])
+    assert o.min() >= 0 and o.max() <= 1
+    enc = model.apply(variables, cloud, train=False, method=model.encode)
+    assert enc.shape == (B, 6)
+
+
+def test_batchnorm_state_updates(cloud):
+    model = PointNetEncoder()
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=True)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(
+        variables, cloud, train=True, mutable=["batch_stats"]
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+    assert changed, "batch stats must update in train mode"
+
+
+def test_ae_gradients_finite(cloud):
+    from pointcloud_tpu.ops import chamfer_distance
+
+    model = AE(PointNetEncoder(), out_points=64, out_dim=6, bottleneck=16)
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            cloud,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return chamfer_distance(out[..., :3], cloud[..., :3])
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_pointnet_mask_excludes_points(rng):
+    """Masked-out points must not affect the encoding."""
+    x = rng.random((1, 64, 6), dtype=np.float32)
+    model = PointNetEncoder()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    mask = np.ones((1, 64), dtype=bool)
+    mask[0, 32:] = False
+    enc_masked = model.apply(
+        variables, jnp.asarray(x), train=False, mask=jnp.asarray(mask)
+    )
+    x2 = x.copy()
+    x2[0, 32:] = 123.0  # garbage in masked region
+    enc_masked2 = model.apply(
+        variables, jnp.asarray(x2), train=False, mask=jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc_masked), np.asarray(enc_masked2), atol=2e-4
+    )
