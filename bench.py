@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.json): 2048-pt clouds/sec/chip, AE fwd+loss.
+
+Runs the flagship PointNet autoencoder forward + Chamfer loss at the
+reference operating point (2048-point, 6-feature clouds) on the local
+accelerator, checks Chamfer parity (<=1e-5 vs an exact host oracle), and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
+vs_baseline is value / 10_000 (the BASELINE.json target for v5e).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_tpu.models import AE, backbone_factory
+    from pointcloud_tpu.ops import chamfer_distance
+
+    log("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+
+    # ---- parity guard (BASELINE: Chamfer within 1e-5 of PyTorch ref) ----
+    xs = rng.random((4, 2048, 3), dtype=np.float32)
+    ys = rng.random((4, 2048, 3), dtype=np.float32)
+    got = float(jax.jit(chamfer_distance)(jnp.asarray(xs), jnp.asarray(ys)))
+    d = ((xs[:, :, None] - ys[:, None]) ** 2).sum(-1)
+    want = float((d.min(2).mean(1) + d.min(1).mean(1)).mean())
+    parity_err = abs(got - want)
+    log(f"chamfer parity err = {parity_err:.2e}")
+    assert parity_err <= 1e-5, f"chamfer parity violated: {parity_err}"
+
+    # ---- throughput: AE forward + chamfer loss ----
+    B = 256
+    x = jnp.asarray(rng.random((B, 2048, 6), dtype=np.float32))
+    model = AE(
+        backbone_factory["PointNet"](feature_dims=3),
+        out_points=2048,
+        out_dim=6,
+        bottleneck=16,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    @jax.jit
+    def fwd_loss(variables, x):
+        out = model.apply(variables, x, train=False)
+        return chamfer_distance(out[..., :3], x[..., :3])
+
+    # compile + warmup
+    fwd_loss(variables, x).block_until_ready()
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        loss = fwd_loss(variables, x)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    clouds_per_sec = B * iters / dt
+    log(f"AE fwd+loss: {clouds_per_sec:,.0f} clouds/s (loss={float(loss):.5f})")
+
+    print(
+        json.dumps(
+            {
+                "metric": "2048-pt clouds/sec/chip (PointNet AE fwd + Chamfer loss)",
+                "value": round(clouds_per_sec, 1),
+                "unit": "clouds/sec/chip",
+                "vs_baseline": round(clouds_per_sec / 10_000, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
