@@ -1,0 +1,172 @@
+"""GoalEnv-layer tests on the synthetic backend (robosuite-free)."""
+
+import gymnasium as gym
+import numpy as np
+import pytest
+
+import pointcloud_tpu  # noqa: F401  (registers envs)
+from pointcloud_tpu.envs.base_env import RobosuiteGoalEnv
+from pointcloud_tpu.envs.encoders import PassthroughEncoder, flatten_observations
+from pointcloud_tpu.envs.envs import RoboPush, RoboReach
+from pointcloud_tpu.envs.sensors import PassthroughSensor
+
+
+def test_registration_lists_envs():
+    ids = set(gym.registry.keys())
+    for env_id in (
+        "RoboReach-v0",
+        "RoboPush-v0",
+        "RoboPickAndPlace-v0",
+        "RoboPegInHole-v0",
+        "VisionReach-v0",
+        "VisionPush-v0",
+        "VisionPushGT-v0",
+        "VisionPegInHoleMultiSeg-v0",
+    ):
+        assert env_id in ids, env_id
+
+
+@pytest.fixture
+def reach_env():
+    env = gym.make("RoboReach-v0")
+    yield env
+    env.close()
+
+
+@pytest.fixture
+def push_env():
+    env = gym.make("RoboPush-v0")
+    yield env
+    env.close()
+
+
+def test_reach_reset_step_api(reach_env):
+    obs, info = reach_env.reset(seed=0)
+    assert set(obs) == {"observation", "achieved_goal", "desired_goal"}
+    assert "is_success" in info
+    assert obs["achieved_goal"].shape == (3,)  # eef pos
+    assert obs["desired_goal"].shape == (3,)
+    action = reach_env.action_space.sample()
+    obs2, reward, terminated, truncated, info2 = reach_env.step(action)
+    assert reward in (-1, 0)
+    assert terminated is False
+    assert obs2["observation"] in reach_env.observation_space["observation"]
+
+
+def test_reach_goal_within_bounds(reach_env):
+    obs, _ = reach_env.reset(seed=1)
+    g = obs["desired_goal"]
+    assert -0.2 <= g[0] <= 0.2 and -0.2 <= g[1] <= 0.2 and 0.85 <= g[2] <= 1.2
+
+
+def test_reach_reward_is_sparse_success(reach_env):
+    env = reach_env.unwrapped
+    obs, _ = env.reset(seed=2)
+    # force achieved == desired -> reward 0
+    r = env.compute_reward(obs["desired_goal"], obs["desired_goal"], {})
+    assert r == 0
+    r = env.compute_reward(obs["desired_goal"] + 1.0, obs["desired_goal"], {})
+    assert r == -1
+
+
+def test_reach_success_by_driving(reach_env):
+    """Kinematic backend: move the eef straight at the goal -> success."""
+    env = reach_env.unwrapped
+    obs, _ = env.reset(seed=3)
+    for _ in range(60):
+        delta = obs["desired_goal"] - obs["achieved_goal"]
+        a = np.zeros(env.action_space.shape, dtype=np.float32)
+        a[:3] = np.clip(delta / 0.05, -1, 1)
+        obs, reward, term, trunc, info = env.step(a)
+        if info["is_success"]:
+            break
+    assert info["is_success"]
+    assert reward == 0
+    assert env.actual_success
+
+
+def test_push_goal_displaced_enough(push_env):
+    env = push_env.unwrapped
+    obs, _ = env.reset(seed=4)
+    d = np.linalg.norm(obs["desired_goal"][:2] - obs["achieved_goal"][:2])
+    assert 0.12 <= d <= 0.31
+    # never pre-achieved
+    assert not info_success(env)
+
+
+def info_success(env):
+    return env.is_episode_success
+
+
+def test_push_randomize_moves_cube(push_env):
+    env = push_env.unwrapped
+    env.reset(seed=5)
+    before = env.raw_state["cube_pos"].copy()
+    env.randomize()
+    after = env.backend.observe()["cube_pos"]
+    assert not np.allclose(before, after)
+
+
+def test_desired_goal_state_does_not_mutate_input(push_env):
+    env = push_env.unwrapped
+    env.reset(seed=6)
+    state = env.backend.observe()
+    snapshot = {k: np.array(v, copy=True) for k, v in state.items()}
+    env.desired_goal_state(state)  # @assert_correctness wraps this
+    for k in snapshot:
+        np.testing.assert_array_equal(state[k], snapshot[k])
+
+
+def test_passthrough_pair_spaces(push_env):
+    env = push_env.unwrapped
+    obs, _ = env.reset(seed=7)
+    # observation = proprio (4) ++ encoding (3)
+    assert obs["observation"].shape == (7,)
+    proprio = flatten_observations(env.raw_state, env.proprio_keys)
+    np.testing.assert_array_equal(obs["observation"][: len(proprio)], proprio)
+
+
+def test_render_state_restores(push_env):
+    env = push_env.unwrapped
+    env.reset(seed=8)
+    before = env.backend.observe()["cube_pos"].copy()
+    imaginary = env.render_state(
+        lambda b: b.set_object_pos("cube_joint0", np.array([0.3, 0.3, 0.82]))
+    )
+    np.testing.assert_allclose(imaginary["cube_pos"], [0.3, 0.3, 0.82], atol=1e-6)
+    np.testing.assert_array_equal(env.backend.observe()["cube_pos"], before)
+
+
+def test_episode_success_sticky(reach_env):
+    """info['is_success'] stays True for the rest of the episode
+    (reference base_env.py:272-277)."""
+    env = reach_env.unwrapped
+    obs, _ = env.reset(seed=9)
+    # drive to success
+    for _ in range(60):
+        delta = obs["desired_goal"] - obs["achieved_goal"]
+        a = np.zeros(env.action_space.shape, dtype=np.float32)
+        a[:3] = np.clip(delta / 0.05, -1, 1)
+        obs, r, te, tr, info = env.step(a)
+        if info["is_success"]:
+            break
+    assert info["is_success"]
+    # now move away; sticky flag must persist
+    a = np.zeros(env.action_space.shape, dtype=np.float32)
+    a[0] = 1.0
+    for _ in range(5):
+        obs, r, te, tr, info = env.step(a)
+    assert info["is_success"]
+    assert r == -1  # but the reward reflects the current state
+
+
+def test_time_limit_truncates():
+    env = gym.make("RoboReach-v0")  # max_episode_steps=50
+    env.reset(seed=10)
+    a = np.zeros(env.action_space.shape, dtype=np.float32)
+    truncated = False
+    for _ in range(50):
+        _, _, term, truncated, _ = env.step(a)
+        assert not term
+    assert truncated
+    env.close()
