@@ -22,19 +22,36 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _use_pallas() -> bool:
+    """Pick the Pallas kernel on TPU backends (incl. the axon plugin)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def farthest_point_sample(
     xyz: Array,
     npoint: int,
     mask: Array | None = None,
     start_idx: int = 0,
+    impl: str = "auto",
 ) -> Array:
     """Select `npoint` indices spreading maximally over the cloud.
 
-    xyz: (B, N, 3[+]) — distances use all coordinate dims given.
+    xyz: (B, N, 3[+]) — distances use the first 3 coordinate dims on the
+    Pallas path and all dims on the XLA path (models pass xyz-only).
     mask: (B, N) bool; masked-out points are never selected. If fewer than
     `npoint` valid points exist, valid points are repeated (static shapes).
+    impl: 'auto' (Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'.
     Returns int32 indices (B, npoint).
     """
+    if impl == "auto":
+        impl = "pallas" if (_use_pallas() and start_idx == 0) else "xla"
+    if impl == "pallas":
+        from pointcloud_tpu.ops.pallas_kernels import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(xyz, npoint, mask=mask)
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
     if mask is None:

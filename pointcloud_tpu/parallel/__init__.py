@@ -1,0 +1,6 @@
+"""Multi-chip parallelism: meshes, sharded training, ring collectives."""
+
+from pointcloud_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from pointcloud_tpu.parallel.ring import ring_chamfer
+
+__all__ = ["data_mesh", "replicate", "shard_batch", "ring_chamfer"]

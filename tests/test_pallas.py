@@ -1,0 +1,61 @@
+"""Pallas kernel tests (CPU interpret mode — exact-match vs the XLA path).
+
+The same kernels are benchmarked compiled on real TPU by bench.py; these
+tests pin the semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_tpu.ops.fps import farthest_point_sample
+from pointcloud_tpu.ops.pallas_kernels import farthest_point_sample_pallas
+
+
+def test_fps_pallas_matches_xla(rng):
+    xyz = jnp.asarray(rng.random((3, 128, 3), dtype=np.float32))
+    ref = np.asarray(farthest_point_sample(xyz, 32, impl="xla"))
+    got = np.asarray(farthest_point_sample_pallas(xyz, 32, interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_fps_pallas_mask(rng):
+    xyz = jnp.asarray(rng.random((2, 96, 3), dtype=np.float32))
+    mask = np.ones((2, 96), bool)
+    mask[:, ::2] = False
+    m = jnp.asarray(mask)
+    ref = np.asarray(farthest_point_sample(xyz, 16, mask=m, impl="xla"))
+    got = np.asarray(farthest_point_sample_pallas(xyz, 16, mask=m, interpret=True))
+    np.testing.assert_array_equal(ref, got)
+    assert np.all(np.asarray(got) % 2 == 1)
+
+
+def test_fps_pallas_invalid_first_point(rng):
+    """Row whose point 0 is masked out must start at the first valid index."""
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    mask = np.ones((1, 64), bool)
+    mask[0, :5] = False
+    got = np.asarray(
+        farthest_point_sample_pallas(xyz, 8, mask=jnp.asarray(mask), interpret=True)
+    )
+    assert got[0, 0] == 5
+
+
+def test_fps_pallas_extra_feature_dims(rng):
+    """(B, N, 6) input: only xyz drives distances (matches model usage)."""
+    xyz = rng.random((1, 80, 3), dtype=np.float32)
+    pc6 = np.concatenate([xyz, rng.random((1, 80, 3), dtype=np.float32)], axis=-1)
+    ref = np.asarray(farthest_point_sample(jnp.asarray(xyz), 10, impl="xla"))
+    got = np.asarray(
+        farthest_point_sample_pallas(jnp.asarray(pc6), 10, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_fps_auto_dispatch_cpu_uses_xla(rng):
+    """On CPU, impl='auto' must route to the XLA path (no TPU lowering)."""
+    xyz = jnp.asarray(rng.random((1, 50, 3), dtype=np.float32))
+    a = np.asarray(farthest_point_sample(xyz, 8, impl="auto"))
+    b = np.asarray(farthest_point_sample(xyz, 8, impl="xla"))
+    np.testing.assert_array_equal(a, b)
