@@ -36,6 +36,9 @@ val_every = 4  # validation every n epochs, cfg.py:32
 # cfg.py:26 — TPU input pipelines prefetch into device memory instead).
 prefetch_batches = 2
 loader_threads = 6
+# Use the native C++ threaded npz loader (native/pcloader.cpp) when its
+# shared library is available and the dataset qualifies.
+use_native_loader = True
 
 # Earth Mover's Distance operating points (cfg.py:36-41).
 emd_eps = 0.005

@@ -418,14 +418,46 @@ def train(
 
     train_ds = spec.open_dataset(os.path.join(input_dir, "train"))
     val_ds = spec.open_dataset(os.path.join(input_dir, "val"))
-    train_loader = BatchLoader(
-        train_ds, batch_size, shuffle=True, seed=seed, threads=cfg.loader_threads,
-        prefetch=cfg.prefetch_batches,
+
+    def make_loader(ds, split_dir, shuffle, drop_last):
+        # fast path: the native C++ threaded loader covers cloud->cloud
+        # datasets with no host-side transforms (transforms run on-device)
+        if (
+            cfg.use_native_loader
+            and isinstance(ds, PointCloudDataset)
+            and ds.in_transform is None
+            and ds.out_transform is None
+        ):
+            try:
+                from pointcloud_tpu.data.native_loader import (
+                    NativeCloudPairLoader,
+                    native_available,
+                )
+
+                if native_available():
+                    return NativeCloudPairLoader(
+                        split_dir,
+                        in_features=ds.in_features,
+                        out_features=ds.out_features,
+                        batch_size=batch_size,
+                        shuffle=shuffle,
+                        seed=seed,
+                        threads=cfg.loader_threads,
+                        prefetch=cfg.prefetch_batches,
+                        drop_last=drop_last,
+                    )
+            except Exception:
+                pass
+        return BatchLoader(
+            ds, batch_size, shuffle=shuffle, seed=seed,
+            threads=cfg.loader_threads, prefetch=cfg.prefetch_batches,
+            drop_last=drop_last,
+        )
+
+    train_loader = make_loader(
+        train_ds, os.path.join(input_dir, "train"), True, True
     )
-    val_loader = BatchLoader(
-        val_ds, batch_size, shuffle=False, threads=cfg.loader_threads,
-        prefetch=cfg.prefetch_batches, drop_last=False,
-    )
+    val_loader = make_loader(val_ds, os.path.join(input_dir, "val"), False, False)
 
     # init
     sample_x, _ = _stack_peek(train_ds, min(2, len(train_ds)))
