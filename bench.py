@@ -41,7 +41,11 @@ def main():
     assert parity_err <= 1e-5, f"chamfer parity violated: {parity_err}"
 
     # ---- throughput: AE forward + chamfer loss ----
-    B = 256
+    # Chained data dependency between iterations: every execution consumes
+    # the previous loss, so neither XLA nor any execution-caching layer can
+    # elide repeated identical calls — this measures real steady-state
+    # device throughput.
+    B = 512
     x = jnp.asarray(rng.random((B, 2048, 6), dtype=np.float32))
     model = AE(
         backbone_factory["PointNet"](feature_dims=3),
@@ -52,20 +56,37 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
 
     @jax.jit
-    def fwd_loss(variables, x):
+    def step(x):
         out = model.apply(variables, x, train=False)
-        return chamfer_distance(out[..., :3], x[..., :3])
+        loss = chamfer_distance(out[..., :3], x[..., :3])
+        return x + loss * 1e-9, loss
 
-    # compile + warmup
-    fwd_loss(variables, x).block_until_ready()
+    x, loss = step(x)
+    loss.block_until_ready()  # compile + warmup
     t0 = time.perf_counter()
     iters = 20
     for _ in range(iters):
-        loss = fwd_loss(variables, x)
+        x, loss = step(x)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     clouds_per_sec = B * iters / dt
     log(f"AE fwd+loss: {clouds_per_sec:,.0f} clouds/s (loss={float(loss):.5f})")
+
+    # ---- auxiliary: Pallas FPS kernel vs XLA loop (stderr only) ----
+    try:
+        from pointcloud_tpu.ops.fps import farthest_point_sample
+
+        xyz = jnp.asarray(rng.random((25, 2048, 3), dtype=np.float32))
+        for impl in ("xla", "pallas"):
+            f = jax.jit(lambda a, impl=impl: farthest_point_sample(a, 512, impl=impl))
+            f(xyz).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(10):
+                r = f(xyz)
+            r.block_until_ready()
+            log(f"FPS[{impl}] B=25 N=2048 K=512: {(time.perf_counter()-t0)/10*1e3:.2f} ms")
+    except Exception as e:  # auxiliary only — never fail the bench
+        log("FPS aux bench skipped:", e)
 
     print(
         json.dumps(
