@@ -1,0 +1,90 @@
+"""Viewer logic tests (headless: assembly + PNG export, no windows)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pointcloud_tpu.envs.synthetic import generate_dataset
+from pointcloud_tpu.viewers.reconstruct import aa_lines, lerp_clouds
+
+
+def test_aa_lines_shape_and_center():
+    pts, cols = aa_lines([1.0, 2.0, 3.0], [1, 0, 0], length=0.2, n=10)
+    assert pts.shape == (30, 3) and cols.shape == (30, 3)
+    np.testing.assert_allclose(pts.mean(0), [1, 2, 3], atol=1e-6)
+    assert np.abs(pts - [1, 2, 3]).max() <= 0.1 + 1e-6
+
+
+def test_lerp_clouds():
+    a = np.zeros((5, 3), np.float32)
+    b = np.ones((5, 3), np.float32)
+    np.testing.assert_allclose(lerp_clouds(a, b, 0.25), 0.25)
+
+
+def test_pc_viewer_cli_headless(tmp_path):
+    d = tmp_path / "data"
+    generate_dataset(str(d), scene="Cube", frames=1, seed=0, sample_points=128)
+    out = tmp_path / "frame.png"
+    r = subprocess.run(
+        [sys.executable, "pc_viewer.py", str(d / "0.npz"), "--save", str(out)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 1000
+    assert "class 1 cube" in r.stdout
+
+
+def test_assemble_prediction_autoencoder(rng):
+    """Assembly works against a freshly initialized (untrained) model."""
+    import jax
+
+    from pointcloud_tpu.envs import scenes
+    from pointcloud_tpu.train.harness import create_model
+    from pointcloud_tpu.viewers.reconstruct import assemble_prediction
+
+    scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=64)
+    try:
+        spec, _ = create_model("Autoencoder", "PointNet", "Cube")
+        x = rng.random((64, 6), dtype=np.float32)
+        variables = spec.model.init(
+            jax.random.PRNGKey(0), np.asarray(x)[None], train=False
+        )
+        p_xyz, p_rgb, g_xyz, g_rgb = assemble_prediction(
+            "Autoencoder", spec, variables, x, x
+        )
+        assert p_xyz.shape == (64, 3) and p_rgb.shape == (64, 3)
+        np.testing.assert_array_equal(g_xyz, x[:, :3])
+    finally:
+        scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=2048)
+
+
+def test_assemble_prediction_statepredictor(rng):
+    import jax
+
+    from pointcloud_tpu.envs import scenes
+    from pointcloud_tpu.train.harness import create_model
+    from pointcloud_tpu.viewers.reconstruct import assemble_prediction
+
+    scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=64)
+    try:
+        spec, _ = create_model("StatePredictor", "PointNet", "Cube")
+        x = rng.random((64, 6), dtype=np.float32)
+        variables = spec.model.init(
+            jax.random.PRNGKey(0), np.asarray(x)[None], train=False
+        )
+        target = {"cube_pos": np.zeros(3, np.float32),
+                  "robot0_eef_pos": np.ones(3, np.float32)}
+        p_xyz, p_rgb, g_xyz, g_rgb = assemble_prediction(
+            "StatePredictor", spec, variables, x, target
+        )
+        assert len(p_xyz) == 300  # 2 states x 3 axes x 50 pts
+        assert len(g_xyz) == 300
+    finally:
+        scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=2048)
