@@ -155,9 +155,10 @@ bool parse_npy(const std::vector<uint8_t>& raw, NpyArray& out) {
   size_t q2 = descr.find('\'', q1 + 1);
   std::string dt = descr.substr(q1 + 1, q2 - q1 - 1);
 
-  // fortran order unsupported (numpy save defaults to C order)
-  if (find_val("'fortran_order'").substr(0, 6).find("True") != std::string::npos)
-    return false;
+  // numpy saves F-contiguous arrays (e.g. column slices) in Fortran order;
+  // decode and convert to C order below
+  bool fortran =
+      find_val("'fortran_order'").substr(0, 6).find("True") != std::string::npos;
 
   // shape tuple
   std::string sh = find_val("'shape'");
@@ -204,6 +205,34 @@ bool parse_npy(const std::vector<uint8_t>& raw, NpyArray& out) {
   } else {
     return false;  // object arrays etc. stay on the Python path
   }
+
+  if (fortran && out.shape.size() > 1) {
+    // column-major -> row-major reorder (rank-generic)
+    const size_t nd = out.shape.size();
+    std::vector<int64_t> c_strides(nd), f_strides(nd);
+    int64_t cs = 1, fs = 1;
+    for (size_t d = nd; d-- > 0;) {
+      c_strides[d] = cs;
+      cs *= out.shape[d];
+    }
+    for (size_t d = 0; d < nd; ++d) {
+      f_strides[d] = fs;
+      fs *= out.shape[d];
+    }
+    std::vector<float> reordered(out.data.size());
+    std::vector<int64_t> idx(nd, 0);
+    for (int64_t flat = 0; flat < count; ++flat) {
+      int64_t f_off = 0;
+      for (size_t d = 0; d < nd; ++d) f_off += idx[d] * f_strides[d];
+      reordered[flat] = out.data[f_off];
+      for (size_t d = nd; d-- > 0;) {  // increment C-order index
+        if (++idx[d] < out.shape[d]) break;
+        idx[d] = 0;
+      }
+    }
+    out.data = std::move(reordered);
+  }
+
   out.ok = true;
   return true;
 }

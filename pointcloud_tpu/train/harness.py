@@ -383,6 +383,7 @@ def train(
     seed: int = 0,
     log_meshes: bool = True,
     data_parallel: bool = True,
+    profile: bool = False,
 ):
     """Train a vision model (reference train.py:166-206).
 
@@ -498,15 +499,29 @@ def train(
     global_step = start_epoch * max(len(train_loader), 1)
     last_loss = float("nan")
 
+    from pointcloud_tpu.utils.profiling import StepTimer, trace
+
+    step_timer = StepTimer(warmup=2)
+    profile_ctx = None
+
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         for x_raw, y_raw in train_loader:
+            if profile and global_step == 2:  # skip compile steps
+                profile_ctx = trace(os.path.join(run_dir, "profile"))
+                profile_ctx.__enter__()
             batch = (x_raw, y_raw)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
-            params, batch_stats, opt_state, loss, logs = train_step(
-                params, batch_stats, opt_state, *batch
-            )
+            with step_timer:
+                params, batch_stats, opt_state, loss, logs = train_step(
+                    params, batch_stats, opt_state, *batch
+                )
+                jax.block_until_ready(loss) if profile else None
+            if profile_ctx is not None and global_step == 5:
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
+                print(f"profile trace written to {run_dir}/profile")
             global_step += 1
             if global_step % cfg.val_every == 0:
                 last_loss = float(loss)
@@ -531,7 +546,7 @@ def train(
         print(
             f"epoch {epoch}: train_loss={float(loss):.6f} "
             f"val_loss={np.mean(val_losses) if val_losses else float('nan'):.6f} "
-            f"({dt:.1f}s)"
+            f"({dt:.1f}s, {step_timer.summary(batch_size, 'clouds')})"
         )
 
         save_checkpoint(

@@ -36,6 +36,22 @@ def test_load_key_matches_numpy(npz_dir):
         np.testing.assert_array_equal(got, want)
 
 
+def test_load_key_fortran_order(tmp_path):
+    """Column slices save as Fortran-order npy entries; the native decoder
+    must convert them to C order (regression: real 2048-pt datasets)."""
+    rng = np.random.default_rng(0)
+    big = rng.random((64, 7)).astype(np.float32)
+    fortran_slice = big[:, :3]  # may save as fortran_order=True
+    f_arr = np.asfortranarray(rng.random((32, 5)).astype(np.float32))
+    f3 = np.asfortranarray(rng.random((4, 5, 6)).astype(np.float32))
+    path = str(tmp_path / "f.npz")
+    np.savez(path, a=fortran_slice, b=f_arr, c=f3)
+    for key, want in (("a", fortran_slice), ("b", f_arr), ("c", f3)):
+        np.testing.assert_array_equal(
+            load_key(path, key), np.ascontiguousarray(want).reshape(-1)
+        )
+
+
 def test_load_key_compressed(tmp_path):
     """np.savez_compressed (deflate) entries decode too."""
     arr = np.random.default_rng(0).random((64, 3)).astype(np.float32)

@@ -26,6 +26,8 @@ def main():
                         help="override the model-type default loss")
     parser.add_argument("--input_root", default="input", type=str)
     parser.add_argument("--output_root", default="output", type=str)
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler device trace of steps 2-5")
     a = parser.parse_args()
 
     import jax
@@ -42,6 +44,7 @@ def main():
         input_root=a.input_root,
         output_root=a.output_root,
         loss_override=a.loss,
+        profile=a.profile,
     )
 
 
