@@ -166,9 +166,22 @@ def emd_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50, method: s
     return _emd_forward(x, y, eps, iters, method)
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _emd_forward(x, y, eps, iters, method):
     if method == "auction":
         return auction_match(x, y, eps=eps, iters=iters)
+    # On TPU the fused Pallas kernel (3x the XLA path) handles clouds whose
+    # row count divides into power-of-two tiles; otherwise fall back.
+    if _use_pallas() and x.shape[1] % 64 == 0:
+        from pointcloud_tpu.ops.pallas_kernels import sinkhorn_match_pallas
+
+        return sinkhorn_match_pallas(x, y, eps=float(eps), iters=int(iters))
     return sinkhorn_match(x, y, eps=eps, iters=iters)
 
 

@@ -25,6 +25,160 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+############################ fused Sinkhorn EMD ############################
+
+
+def _sinkhorn_kernel(
+    x_ref, yt_ref, dists_ref, assign_ref, f_ref, g_ref,
+    *, n, m, iters, eps, tile,
+):
+    """Flash-style Sinkhorn: the (N, M) cost matrix is never materialized.
+
+    Per sweep, row tiles of C are recomputed from the VMEM-resident clouds
+    (direct fp32 squared-difference expansion, see c_tile) and consumed
+    immediately:
+      sweep 1 (g update, old f): online logsumexp over ROWS — running
+        (max, sum) accumulators per column, merged tile by tile;
+      sweep 2 (f update, new g): per-tile logsumexp over LANES.
+    Layout: f lives as (N, 1) (rows on sublanes), g as (1, M) (columns on
+    lanes) — both orientations are exactly what their sweep broadcasts
+    need, so no transposes ever happen.
+
+    Replaces the HBM-bound XLA path (ops/emd.py sinkhorn_match: 50 iters x
+    ~4 full passes over a 16 MB C per batch element) with a compute-bound
+    kernel: per iteration only 2 recomputed passes of MXU+VPU work.
+    """
+    inv_eps = 1.0 / eps
+    log_mu = -jnp.log(jnp.float32(n))
+    log_nu = -jnp.log(jnp.float32(m))
+    NEG = jnp.float32(-1e30)
+    n_tiles = n // tile
+
+    def c_tile(i):
+        # Direct squared-difference expansion on the VPU, fully fp32.
+        # (An MXU dot is bf16 by default — ~1e-3 cost error perturbs the
+        # matching — and Precision.HIGHEST lowers ~3x slower here; with
+        # K=3 the direct form is 9 VPU ops/element and exact.)
+        acc = None
+        for d in range(3):
+            xd = x_ref[pl.ds(i * tile, tile), d : d + 1]  # (tile, 1)
+            yd = yt_ref[d : d + 1, :]  # (1, M)
+            diff = xd - yd
+            acc = diff * diff if acc is None else acc + diff * diff
+        return acc
+
+    f_ref[:, :] = jnp.zeros((n, 1), jnp.float32)
+    g_ref[:, :] = jnp.zeros((1, m), jnp.float32)
+
+    def iteration(_, carry):
+        # ---- g update (uses old f): online logsumexp over rows ----
+        def sweep1(i, acc):
+            m_acc, s_acc = acc  # (1, M) running max / scaled sum
+            t = (f_ref[pl.ds(i * tile, tile), :] - c_tile(i)) * inv_eps
+            m_t = jnp.max(t, axis=0, keepdims=True)
+            new_m = jnp.maximum(m_acc, m_t)
+            s_acc = s_acc * jnp.exp(m_acc - new_m) + jnp.sum(
+                jnp.exp(t - new_m), axis=0, keepdims=True
+            )
+            return new_m, s_acc
+
+        m_acc, s_acc = jax.lax.fori_loop(
+            0,
+            n_tiles,
+            sweep1,
+            (jnp.full((1, m), NEG), jnp.zeros((1, m), jnp.float32)),
+        )
+        g_ref[:, :] = eps * (log_nu - (m_acc + jnp.log(s_acc)))
+
+        # ---- f update (uses new g): per-tile logsumexp over lanes ----
+        def sweep2(i, _):
+            t = (g_ref[:, :] - c_tile(i)) * inv_eps  # (tile, M)
+            m_t = jnp.max(t, axis=1, keepdims=True)
+            lse = m_t + jnp.log(
+                jnp.sum(jnp.exp(t - m_t), axis=1, keepdims=True)
+            )
+            f_ref[pl.ds(i * tile, tile), :] = eps * (log_mu - lse)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, sweep2, 0)
+        return carry
+
+    jax.lax.fori_loop(0, iters, iteration, 0)
+
+    # ---- assignment = argmax_j (f_i + g_j - C_ij); dists = C[i, assign] ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+
+    def final(i, _):
+        C = c_tile(i)
+        scores = f_ref[pl.ds(i * tile, tile), :] + g_ref[:, :] - C
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        idx = jnp.min(
+            jnp.where(scores == mx, lane, m), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        assign_ref[pl.ds(i * tile, tile), :] = idx
+        dists_ref[pl.ds(i * tile, tile), :] = jnp.maximum(
+            jnp.sum(jnp.where(lane == idx, C, 0.0), axis=1, keepdims=True), 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, final, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
+def sinkhorn_match_pallas(
+    x: jax.Array,
+    y: jax.Array,
+    eps: float = 0.005,
+    iters: int = 50,
+    interpret: bool = False,
+):
+    """Fused-Sinkhorn matching: x (B, N, C), y (B, M, C) ->
+    (dists (B, N), assignment (B, N) int32), same contract/semantics as
+    ops.emd.sinkhorn_match."""
+    B, N, _ = x.shape
+    M = y.shape[1]
+    tile = 512
+    while N % tile:
+        tile //= 2
+    x = x[..., :3].astype(jnp.float32)
+    y = y[..., :3].astype(jnp.float32)
+    yt = jnp.swapaxes(y, 1, 2)  # (B, 3, M)
+
+    kernel = functools.partial(
+        _sinkhorn_kernel, n=N, m=M, iters=iters, eps=float(eps), tile=tile
+    )
+    dists, assign = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, N, 3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 3, M), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, 1), jnp.float32),
+            pltpu.VMEM((1, M), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                16 * tile * M + 64 * (N + M) + (8 << 20), 120 << 20
+            )
+        ),
+        interpret=interpret,
+    )(x, yt)
+    return dists[..., 0], assign[..., 0]
+
+
+############################ FPS ############################
+
+
 def _fps_kernel(xyz_ref, mask_ref, idx_ref, mind_ref, *, npoint, n, b):
     # xyz_ref: (3, B, N) f32; mask_ref: (B, N) f32 (1=valid);
     # idx_ref: (B, K) i32 out; mind_ref: (B, N) f32 scratch.

@@ -9,8 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from pointcloud_tpu.ops.emd import sinkhorn_match
 from pointcloud_tpu.ops.fps import farthest_point_sample
-from pointcloud_tpu.ops.pallas_kernels import farthest_point_sample_pallas
+from pointcloud_tpu.ops.pallas_kernels import (
+    farthest_point_sample_pallas,
+    sinkhorn_match_pallas,
+)
 
 
 def test_fps_pallas_matches_xla(rng):
@@ -51,6 +55,32 @@ def test_fps_pallas_extra_feature_dims(rng):
         farthest_point_sample_pallas(jnp.asarray(pc6), 10, interpret=True)
     )
     np.testing.assert_array_equal(ref, got)
+
+
+def test_sinkhorn_pallas_matches_xla(rng):
+    x = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    d_ref, a_ref = sinkhorn_match(x, y, eps=0.01, iters=30)
+    d_pal, a_pal = sinkhorn_match_pallas(x, y, eps=0.01, iters=30, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pal), atol=1e-6)
+
+
+def test_sinkhorn_pallas_asymmetric_and_features(rng):
+    """N != M clouds and extra feature dims (sliced off) both work."""
+    x = jnp.asarray(rng.random((1, 64, 6), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 128, 6), dtype=np.float32))
+    d, a = sinkhorn_match_pallas(x, y, eps=0.01, iters=20, interpret=True)
+    d_ref, a_ref = sinkhorn_match(x[..., :3], y[..., :3], eps=0.01, iters=20)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
+    assert (np.asarray(a) < 128).all()
+
+
+def test_sinkhorn_pallas_identity(rng):
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    d, a = sinkhorn_match_pallas(x, x, eps=0.002, iters=100, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a)[0], np.arange(64))
+    assert float(np.asarray(d).max()) <= 1e-6
 
 
 def test_fps_auto_dispatch_cpu_uses_xla(rng):
