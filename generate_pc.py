@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--val_split", type=float, default=0.0,
                         help="if >0, also write a val/ split alongside train/")
+    parser.add_argument("--show_distribution", action="store_true",
+                        help="merge all frames into a distribution cloud "
+                             "(saved as merged.npz_ignore) + a plot "
+                             "(reference generate_pc.py:79-98)")
     a = parser.parse_args()
 
     frames = a.horizon * a.runs
@@ -57,6 +61,53 @@ def main():
             action_scale=a.action_scale,
             steps_per_action=a.steps_per_action,
         )
+
+    if a.show_distribution:
+        show_distribution(a.dir)
+
+
+def show_distribution(root: str):
+    """Merge every generated frame into one distribution cloud with GT
+    markers and plot it (reference generate_pc.py:79-98; the merged cloud is
+    saved with an .npz_ignore suffix so datasets skip it)."""
+    import glob
+
+    import numpy as np
+
+    files = sorted(glob.glob(os.path.join(root, "**", "*.npz"), recursive=True))
+    if not files:
+        print("no frames found under", root)
+        return
+    all_points, all_gt = [], []
+    for f in files:
+        data = np.load(f, allow_pickle=True)
+        pc = np.concatenate([data["points"], data["rgb"]], axis=1)
+        all_points.append(pc)
+        for name, value in data["ground_truth"]:
+            v = np.asarray(value)
+            if v.shape == (3,):
+                all_gt.append(np.concatenate([v, [1, 0, 0]]))
+    merged = np.concatenate(all_points)
+    gt = np.asarray(all_gt, dtype=np.float32).reshape(-1, 6)
+    print("all points gathered", merged.shape)
+    np.savez(os.path.join(root, "merged.npz_tmp"), points=merged, gt=gt)
+    os.replace(
+        os.path.join(root, "merged.npz_tmp.npz")
+        if os.path.exists(os.path.join(root, "merged.npz_tmp.npz"))
+        else os.path.join(root, "merged.npz_tmp"),
+        os.path.join(root, "merged.npz_ignore"),
+    )
+    from pointcloud_tpu.viewers.plot import show_clouds
+
+    # subsample for plotting
+    rng = np.random.default_rng(0)
+    sel = rng.choice(len(merged), size=min(len(merged), 20000), replace=False)
+    show_clouds(
+        [(merged[sel, :3], merged[sel, 3:6], "distribution"),
+         (gt[:, :3], gt[:, 3:6], "ground truth")],
+        save=os.path.join(root, "distribution.png"),
+        title=f"{root} ({len(files)} frames)",
+    )
 
 
 if __name__ == "__main__":

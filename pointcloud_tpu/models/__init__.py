@@ -18,7 +18,13 @@ from pointcloud_tpu.models.architectures import (
     backbone_factory,
 )
 from pointcloud_tpu.models.pointnet import PointNetEncoder, STN
-from pointcloud_tpu.models.pointnet2 import PointNet2Encoder, SetAbstraction
+from pointcloud_tpu.models.pointnet2 import (
+    PointNet2Encoder,
+    PointNet2MSGEncoder,
+    PointNet2SSGEncoder,
+    SetAbstraction,
+    SetAbstractionMsg,
+)
 from pointcloud_tpu.models.pointmlp import PointMLP, PointMLPElite, PointMLPModel
 
 __all__ = [
@@ -36,7 +42,10 @@ __all__ = [
     "PointNetEncoder",
     "STN",
     "PointNet2Encoder",
+    "PointNet2MSGEncoder",
+    "PointNet2SSGEncoder",
     "SetAbstraction",
+    "SetAbstractionMsg",
     "PointMLP",
     "PointMLPElite",
     "PointMLPModel",

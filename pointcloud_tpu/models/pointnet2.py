@@ -60,6 +60,59 @@ class SetAbstraction(nn.Module):
         return new_xyz, new_features, new_mask
 
 
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale-grouping SA level (reference PointNetSetAbstractionMsg,
+    pointnet2_utils.py:211-268): one FPS, several (radius, k, mlp) branches
+    whose pooled features concatenate."""
+
+    npoint: int
+    radius_list: tuple
+    nsample_list: tuple
+    mlp_list: tuple  # tuple of per-branch mlp tuples
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: Array,
+        features: Array | None,
+        train: bool = False,
+        mask: Array | None = None,
+    ):
+        from pointcloud_tpu.ops.fps import farthest_point_sample
+        from pointcloud_tpu.ops.geometry import ball_query, index_points
+
+        fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
+        new_xyz = index_points(xyz, fps_idx)
+        new_mask = (
+            jnp.take_along_axis(mask, fps_idx, axis=1)
+            if mask is not None
+            else jnp.ones(fps_idx.shape, dtype=bool)
+        )
+
+        branch_feats = []
+        for radius, nsample, mlp in zip(
+            self.radius_list, self.nsample_list, self.mlp_list
+        ):
+            idx, in_ball = ball_query(radius, nsample, xyz, new_xyz, mask=mask)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [index_points(features, idx), grouped_xyz], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            h = grouped
+            for f in mlp:
+                h = nn.Dense(f)(h)
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+                h = nn.relu(h)
+            h = jnp.where(
+                (in_ball & new_mask[..., None])[..., None], h, _NEG
+            )
+            branch_feats.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(branch_feats, axis=-1), new_mask
+
+
 class PointNet2Encoder(nn.Module):
     """PointNet++ SSG global encoder -> (B, 1024) (reference pointnet2.py:7-41).
 
@@ -87,3 +140,63 @@ class PointNet2Encoder(nn.Module):
             npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024), group_all=True
         )(xyz, feats, train=train, mask=mask)
         return feats[:, 0, :]  # (B, 1024)
+
+
+class PointNet2SSGEncoder(nn.Module):
+    """Alternative SSG classification encoder (reference
+    models/pointnet2_ssg_cls.py:6-66, built on external pointnet2_ops there;
+    wider MLPs and k=64 at level 1 vs PointNet2Encoder). Present in the
+    reference but commented out of backbone_factory (architectures.py:6)."""
+
+    ENCODING_DIM = 1024
+
+    space_dims: int = 3
+    feature_dims: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        xyz = x[..., :3]
+        feats = x[..., 3:] if x.shape[-1] > 3 else None
+        xyz, feats, mask = SetAbstraction(
+            npoint=512, radius=0.2, nsample=64, mlp=(64, 64, 128)
+        )(xyz, feats, train=train, mask=mask)
+        xyz, feats, mask = SetAbstraction(
+            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256)
+        )(xyz, feats, train=train, mask=mask)
+        _, feats, _ = SetAbstraction(
+            npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024),
+            group_all=True,
+        )(xyz, feats, train=train, mask=mask)
+        return feats[:, 0, :]
+
+
+class PointNet2MSGEncoder(nn.Module):
+    """Multi-scale-grouping classification encoder (reference
+    models/pointnet2_msg_cls.py:10-45): two MSG levels then a group-all."""
+
+    ENCODING_DIM = 1024
+
+    space_dims: int = 3
+    feature_dims: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        xyz = x[..., :3]
+        feats = x[..., 3:] if x.shape[-1] > 3 else None
+        xyz, feats, mask = SetAbstractionMsg(
+            npoint=512,
+            radius_list=(0.1, 0.2, 0.4),
+            nsample_list=(16, 32, 128),
+            mlp_list=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+        )(xyz, feats, train=train, mask=mask)
+        xyz, feats, mask = SetAbstractionMsg(
+            npoint=128,
+            radius_list=(0.2, 0.4, 0.8),
+            nsample_list=(32, 64, 128),
+            mlp_list=((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+        )(xyz, feats, train=train, mask=mask)
+        _, feats, _ = SetAbstraction(
+            npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024),
+            group_all=True,
+        )(xyz, feats, train=train, mask=mask)
+        return feats[:, 0, :]

@@ -173,3 +173,12 @@ def test_pointnet_mask_excludes_points(rng):
     np.testing.assert_allclose(
         np.asarray(enc_masked), np.asarray(enc_masked2), atol=2e-4
     )
+
+
+def test_pointnet2_ssg_msg_encoders(cloud):
+    from pointcloud_tpu.models import PointNet2MSGEncoder, PointNet2SSGEncoder
+
+    for cls in (PointNet2SSGEncoder, PointNet2MSGEncoder):
+        model = cls()
+        _, enc = init_and_run(model, cloud)
+        assert enc.shape == (B, 1024), cls.__name__
