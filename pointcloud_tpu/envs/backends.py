@@ -175,6 +175,14 @@ class RobosuiteBackend:
         self._get_real_depth = get_real_depth_map
         self.cameras = list(cameras)
         self.camera_size = camera_size
+        robo_kwargs = dict(robo_kwargs)
+        controller = robo_kwargs.pop("controller", None)
+        if controller and "controller_configs" not in robo_kwargs:
+            from robosuite.controllers import load_controller_config
+
+            robo_kwargs["controller_configs"] = load_controller_config(
+                default_controller=controller
+            )
         self.env = suite.make(hard_reset=False, **robo_kwargs)
         self.movers = [CameraMover(self.env, camera=c) for c in self.cameras]
         self.poses = list(camera_poses)

@@ -323,6 +323,11 @@ class RobosuiteGoalEnv(GoalEnv):
             self.viewer.close()
         if self.goal_backend is not None:
             self.goal_backend.close()
+        if hasattr(self, "_vid"):
+            try:
+                self._vid.release()
+            except Exception:
+                pass
 
     #################
     # for rendering #
@@ -373,7 +378,29 @@ class RobosuiteGoalEnv(GoalEnv):
             camera_image[0:2, mid:, :] = [0, 1, 0] if self.believe_success else [1, 0, 0]
         if self.overlay:
             camera_image += self.overlay(camera_h, camera_w)
-        self.viewer.show(to_cv2_img(camera_image))
+        img = to_cv2_img(camera_image)
+        self.viewer.show(img)
+        self._record_frame(img)
+
+    def _record_frame(self, img):
+        """Append the frame to recording/{task}.mp4 (base_env.py:380-387);
+        silently disabled without cv2."""
+        try:
+            import os
+
+            import cv2
+
+            if not hasattr(self, "_vid"):
+                os.makedirs("recording", exist_ok=True)
+                self._vid = cv2.VideoWriter(
+                    f"recording/{self.task}.mp4",
+                    fourcc=cv2.VideoWriter_fourcc(*"mp4v"),
+                    fps=20.0,
+                    frameSize=(img.shape[1], img.shape[0]),
+                )
+            self._vid.write((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        except Exception:
+            pass
 
     def simulate_eef_pos(
         self, target, state_setter=None, tolerance=0.01, max_steps=50,

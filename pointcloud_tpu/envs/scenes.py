@@ -53,6 +53,10 @@ cfg_scene["Base_full"] = cfg_scene["Base"] | {
 robo_kwargs["Table"] = robo_kwargs["Base"] | {
     "env_name": "Lift",
     "robots": "Panda",
+    # resolved to load_controller_config(...) by RobosuiteBackend only when
+    # robosuite is importable (reference passes the loaded config directly,
+    # envs.py:60)
+    "controller": "OSC_POSITION",
 }
 
 cfg_scene["Table"] = cfg_scene["Base_full"] | {
@@ -84,6 +88,7 @@ cfg_scene["Cube"] = cfg_scene["Base_full"] | {
 robo_kwargs["PegInHole"] = robo_kwargs["Base"] | {
     "env_name": "TwoArmPegInHole",
     "robots": ["Panda", "Panda"],
+    "controller": "OSC_POSE",  # reference envs.py:95
 }
 
 cfg_scene["PegInHole"] = cfg_scene["Base"] | {

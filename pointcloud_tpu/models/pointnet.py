@@ -73,7 +73,9 @@ class PointNetEncoder(nn.Module):
     """PointNet global encoder -> (B, 1024).
 
     space_dims coords are transformed by the input STN; remaining
-    feature_dims pass through (reference pointnet.py:133-148).
+    feature_dims pass through (reference pointnet.py:133-148). Submodules
+    live in setup() so `__call__` and `forward_all_features` share weights
+    (apply(..., method=model.forward_all_features)).
     """
 
     ENCODING_DIM = 1024
@@ -83,41 +85,39 @@ class PointNetEncoder(nn.Module):
     input_transform: bool = True
     feature_transform: bool = True
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, mask: Array | None = None):
-        if self.input_transform:
-            trans = STN(k=self.space_dims)(x, train=train, mask=mask)
+    def setup(self):
+        self.stn = STN(k=self.space_dims) if self.input_transform else None
+        self.mlp0 = PointwiseMLP((64, 64))
+        self.fstn = STN(k=64) if self.feature_transform else None
+        self.mlp1 = PointwiseMLP((64, 128))
+        self.mlp2 = PointwiseMLP((1024,), final_activation=False)
+
+    def _point_features(self, x, train, mask):
+        if self.stn is not None:
+            trans = self.stn(x, train=train, mask=mask)
             xyz = jnp.einsum("bnc,bcd->bnd", x[..., : self.space_dims], trans)
             x = jnp.concatenate([xyz, x[..., self.space_dims :]], axis=-1)
-
-        x = PointwiseMLP((64, 64))(x, train=train)
-
-        if self.feature_transform:
-            ftrans = STN(k=64)(x, train=train, mask=mask)
+        x = self.mlp0(x, train=train)
+        if self.fstn is not None:
+            ftrans = self.fstn(x, train=train, mask=mask)
             x = jnp.einsum("bnc,bcd->bnd", x, ftrans)
+        return x
 
-        x = PointwiseMLP((64, 128))(x, train=train)
-        x = PointwiseMLP((1024,), final_activation=False)(x, train=train)
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        x = self._point_features(x, train, mask)
+        x = self.mlp1(x, train=train)
+        x = self.mlp2(x, train=train)
         return masked_max(x, mask, axis=1)  # (B, 1024)
 
     def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
         """Per-point (64-d) + tiled global features, (B, N, 64+1024)
         (reference forward_all_features, pointnet.py:166-200)."""
-        # Note: runs the same submodules via __call__-style compact reuse is
-        # not possible outside apply; use apply(..., method=...) with this.
-        if self.input_transform:
-            trans = STN(k=self.space_dims)(x, train=train, mask=mask)
-            xyz = jnp.einsum("bnc,bcd->bnd", x[..., : self.space_dims], trans)
-            x = jnp.concatenate([xyz, x[..., self.space_dims :]], axis=-1)
-        x = PointwiseMLP((64, 64))(x, train=train)
-        if self.feature_transform:
-            ftrans = STN(k=64)(x, train=train, mask=mask)
-            x = jnp.einsum("bnc,bcd->bnd", x, ftrans)
-        pointfeat = x
-        x = PointwiseMLP((64, 128))(x, train=train)
-        x = PointwiseMLP((1024,))(x, train=train)
-        glob = masked_max(x, mask, axis=1)
+        pointfeat = self._point_features(x, train, mask)
+        x = self.mlp1(pointfeat, train=train)
+        x = self.mlp2(x, train=train)
+        glob = masked_max(nn.relu(x), mask, axis=1)
         glob_tiled = jnp.broadcast_to(
-            glob[:, None, :], (x.shape[0], x.shape[1], glob.shape[-1])
+            glob[:, None, :],
+            (pointfeat.shape[0], pointfeat.shape[1], glob.shape[-1]),
         )
         return jnp.concatenate([pointfeat, glob_tiled], axis=-1)

@@ -31,6 +31,7 @@ def _jitted_preprocess(bbox_key, K: int, sampler: str | None, n_features: int):
         stages.append(SampleFurthestPoints(K))
     elif sampler == "RS":
         stages.append(SampleRandomPoints(K))
+    # sampler None: filter only, no downsampling (reference pc_sensor.py:23)
     chain = Compose(stages)
 
     @jax.jit

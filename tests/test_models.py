@@ -182,3 +182,21 @@ def test_pointnet2_ssg_msg_encoders(cloud):
         model = cls()
         _, enc = init_and_run(model, cloud)
         assert enc.shape == (B, 1024), cls.__name__
+
+
+def test_pointnet_forward_all_features_shares_weights(cloud):
+    """forward_all_features must reuse __call__'s weights (setup-shared)."""
+    model = PointNetEncoder()
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=False)
+    allf = model.apply(
+        variables, cloud, train=False, method=model.forward_all_features
+    )
+    assert allf.shape == (B, N, 64 + 1024)
+    # the tiled global features derive from the same params as __call__
+    variables2 = model.init(
+        jax.random.PRNGKey(0), cloud, train=False,
+        method=model.forward_all_features,
+    )
+    t1 = jax.tree_util.tree_structure(variables["params"])
+    t2 = jax.tree_util.tree_structure(variables2["params"])
+    assert t1 == t2
