@@ -35,6 +35,73 @@ def _masked_mean(values: Array, mask: Array | None, axis: int):
     return total / count
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _nn_forward(x, y, xw, yw):
+    """(min_x, amin_x, min_y, amin_y): nearest-valid-counterpart squared
+    distances + indices. Pallas fused sweep on TPU, dense XLA elsewhere."""
+    if _use_pallas() and x.shape[1] % 64 == 0 and x.shape[-1] == 3:
+        from pointcloud_tpu.ops.pallas_kernels import nearest_neighbor_pallas
+
+        return nearest_neighbor_pallas(x, y, x_mask=xw > 0.5, y_mask=yw > 0.5)
+    d = pairwise_sqdist(x, y)  # (B, N, M)
+    d_for_x = jnp.where(yw[:, None, :] > 0.5, d, _BIG)
+    d_for_y = jnp.where(xw[:, :, None] > 0.5, d, _BIG)
+    min_x = jnp.min(d_for_x, axis=2)
+    amin_x = jnp.argmin(d_for_x, axis=2).astype(jnp.int32)
+    min_y = jnp.min(d_for_y, axis=1)
+    amin_y = jnp.argmin(d_for_y, axis=1).astype(jnp.int32)
+    return min_x, amin_x, min_y, amin_y
+
+
+@jax.custom_vjp
+def nearest_neighbor_dists(x, y, xw, yw):
+    """Differentiable (min_x (B,N), min_y (B,M)) squared nearest-neighbor
+    distances under validity weights xw/yw (1.0 = valid).
+
+    The backward pass routes each cotangent through the matched pair
+    (gather + scatter-add) instead of re-materializing the distance matrix —
+    the memory-free analog of autodiff-through-min.
+    """
+    min_x, _, min_y, _ = _nn_forward(x, y, xw, yw)
+    return min_x, min_y
+
+
+def _nn_fwd(x, y, xw, yw):
+    min_x, amin_x, min_y, amin_y = _nn_forward(x, y, xw, yw)
+    return (min_x, min_y), (x, y, xw, yw, amin_x, amin_y)
+
+
+def _nn_bwd(res, grads):
+    x, y, xw, yw, amin_x, amin_y = res
+    gx, gy = grads  # (B, N), (B, M)
+    B = x.shape[0]
+    bidx_n = jnp.arange(B)[:, None]
+    # masked rows carry BIG dists; their cotangents are zero by construction
+    # in the chamfer means, but zero them defensively anyway
+    gx = gx * (xw > 0.5)
+    gy = gy * (yw > 0.5)
+
+    y_near = jnp.take_along_axis(y, amin_x[..., None], axis=1)  # (B, N, 3)
+    diff_x = x - y_near
+    dx = 2.0 * gx[..., None] * diff_x
+    dy = jnp.zeros_like(y).at[bidx_n, amin_x].add(-2.0 * gx[..., None] * diff_x)
+
+    x_near = jnp.take_along_axis(x, amin_y[..., None], axis=1)  # (B, M, 3)
+    diff_y = y - x_near
+    dy = dy + 2.0 * gy[..., None] * diff_y
+    dx = dx.at[bidx_n, amin_y].add(-2.0 * gy[..., None] * diff_y)
+    return dx, dy, jnp.zeros_like(xw), jnp.zeros_like(yw)
+
+
+nearest_neighbor_dists.defvjp(_nn_fwd, _nn_bwd)
+
+
 def masked_chamfer(
     x: Array,
     y: Array,
@@ -46,12 +113,27 @@ def masked_chamfer(
 
     x: (B, N, C), y: (B, M, C). Returns (cham_x (B,), cham_y (B,)) where
     cham_x = mean over valid x of min sqdist to valid y, and vice versa.
+    method: 'matmul' (fused Pallas sweep on TPU / MXU expansion elsewhere)
+    or 'direct' (exact squared-difference reference path).
     """
-    d = pairwise_sqdist(x, y, method=method)  # (B, N, M)
-    d_for_x = d if y_mask is None else jnp.where(y_mask[:, None, :], d, _BIG)
-    d_for_y = d if x_mask is None else jnp.where(x_mask[:, :, None], d, _BIG)
-    min_x = jnp.min(d_for_x, axis=2)  # (B, N) nearest valid y for each x
-    min_y = jnp.min(d_for_y, axis=1)  # (B, M) nearest valid x for each y
+    if method == "direct" or x.shape[-1] != 3:
+        d = pairwise_sqdist(x, y, method=method)  # (B, N, M)
+        d_for_x = d if y_mask is None else jnp.where(y_mask[:, None, :], d, _BIG)
+        d_for_y = d if x_mask is None else jnp.where(x_mask[:, :, None], d, _BIG)
+        min_x = jnp.min(d_for_x, axis=2)
+        min_y = jnp.min(d_for_y, axis=1)
+    else:
+        xw = (
+            jnp.ones(x.shape[:2], jnp.float32)
+            if x_mask is None
+            else x_mask.astype(jnp.float32)
+        )
+        yw = (
+            jnp.ones(y.shape[:2], jnp.float32)
+            if y_mask is None
+            else y_mask.astype(jnp.float32)
+        )
+        min_x, min_y = nearest_neighbor_dists(x, y, xw, yw)
     cham_x = _masked_mean(min_x, x_mask, axis=1)
     cham_y = _masked_mean(min_y, y_mask, axis=1)
     return cham_x, cham_y

@@ -176,6 +176,127 @@ def sinkhorn_match_pallas(
     return dists[..., 0], assign[..., 0]
 
 
+############################ fused Chamfer (nearest neighbor) ############################
+
+
+def _nn_kernel(x_ref, yt_ref, xm_ref, ym_ref,
+               minx_ref, aminx_ref, miny_ref, aminy_ref, *, n, m, tile):
+    """Bidirectional nearest-neighbor sweep without materializing C in HBM.
+
+    Row tiles of the cost matrix are recomputed in VMEM (direct fp32
+    squared-difference) and reduced twice on the fly:
+      x-side: per-row lane min + argmin (min-lane-where-equal tie-break);
+      y-side: online column min with a running (value, row-index) pair —
+        the running value wins ties, so the FIRST minimal row is kept,
+        matching jnp.argmin.
+    Masked-out points are pushed to +BIG on both sides.
+    """
+    BIG = jnp.float32(1e10)
+    n_tiles = n // tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 0)
+    y_invalid = ym_ref[:, :] < 0.5  # (1, M)
+
+    def c_tile(i):
+        acc = None
+        for d in range(3):
+            xd = x_ref[pl.ds(i * tile, tile), d : d + 1]
+            yd = yt_ref[d : d + 1, :]
+            diff = xd - yd
+            acc = diff * diff if acc is None else acc + diff * diff
+        return acc
+
+    def sweep(i, acc):
+        best_v, best_i = acc  # (1, M) running column min + row index
+        C = c_tile(i)
+        x_invalid = xm_ref[pl.ds(i * tile, tile), :] < 0.5  # (tile, 1)
+
+        # ---- x side: nearest valid y per row ----
+        Cx = jnp.where(y_invalid, BIG, C)
+        mn = jnp.min(Cx, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(Cx == mn, lane, m), axis=1, keepdims=True)
+        minx_ref[pl.ds(i * tile, tile), :] = mn
+        aminx_ref[pl.ds(i * tile, tile), :] = am.astype(jnp.int32)
+
+        # ---- y side: online column min over valid x rows ----
+        Cy = jnp.where(x_invalid, BIG, C)
+        col_v = jnp.min(Cy, axis=0, keepdims=True)  # (1, M)
+        col_i = jnp.min(
+            jnp.where(Cy == col_v, row + i * tile, n), axis=0, keepdims=True
+        )
+        take = col_v < best_v  # strict: earlier tiles win ties
+        best_i = jnp.where(take, col_i, best_i)
+        best_v = jnp.where(take, col_v, best_v)
+        return best_v, best_i
+
+    best_v, best_i = jax.lax.fori_loop(
+        0,
+        n_tiles,
+        sweep,
+        (jnp.full((1, m), BIG), jnp.zeros((1, m), jnp.int32)),
+    )
+    miny_ref[:, :] = best_v
+    aminy_ref[:, :] = best_i.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_neighbor_pallas(
+    x: jax.Array,
+    y: jax.Array,
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """x (B, N, 3), y (B, M, 3) -> (min_x (B,N), amin_x (B,N) i32,
+    min_y (B,M), amin_y (B,M) i32): squared distance + index of each point's
+    nearest valid counterpart. Masked points receive BIG distances."""
+    B, N, _ = x.shape
+    M = y.shape[1]
+    tile = 512
+    while N % tile:
+        tile //= 2
+    x = x[..., :3].astype(jnp.float32)
+    yt = jnp.swapaxes(y[..., :3].astype(jnp.float32), 1, 2)
+    xm = (
+        jnp.ones((B, N, 1), jnp.float32)
+        if x_mask is None
+        else x_mask.astype(jnp.float32)[..., None]
+    )
+    ym = (
+        jnp.ones((B, 1, M), jnp.float32)
+        if y_mask is None
+        else y_mask.astype(jnp.float32)[:, None, :]
+    )
+    kernel = functools.partial(_nn_kernel, n=N, m=M, tile=tile)
+    minx, aminx, miny, aminy = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, N, 3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 3, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, M), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, M), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(24 * tile * M + (8 << 20), 120 << 20)
+        ),
+        interpret=interpret,
+    )(x, yt, xm, ym)
+    return minx[..., 0], aminx[..., 0], miny[:, 0, :], aminy[:, 0, :]
+
+
 ############################ FPS ############################
 
 

@@ -83,6 +83,47 @@ def test_sinkhorn_pallas_identity(rng):
     assert float(np.asarray(d).max()) <= 1e-6
 
 
+def test_nearest_neighbor_pallas_matches_xla(rng):
+    from pointcloud_tpu.ops.geometry import pairwise_sqdist
+    from pointcloud_tpu.ops.pallas_kernels import nearest_neighbor_pallas
+
+    x = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 192, 3), dtype=np.float32))
+    minx, aminx, miny, aminy = nearest_neighbor_pallas(x, y, interpret=True)
+    d = np.asarray(pairwise_sqdist(x, y, method="direct"))
+    np.testing.assert_allclose(np.asarray(minx), d.min(2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aminx), d.argmin(2))
+    np.testing.assert_allclose(np.asarray(miny), d.min(1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aminy), d.argmin(1))
+
+
+def test_nearest_neighbor_pallas_masked(rng):
+    from pointcloud_tpu.ops.pallas_kernels import nearest_neighbor_pallas
+
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    ym = np.ones((1, 64), bool)
+    ym[0, ::2] = False
+    minx, aminx, _, _ = nearest_neighbor_pallas(
+        x, y, y_mask=jnp.asarray(ym), interpret=True
+    )
+    assert np.all(np.asarray(aminx) % 2 == 1)  # only valid y selected
+
+
+def test_chamfer_fast_path_grad_matches_direct(rng):
+    """custom-VJP (gather/scatter) grads == autodiff-through-min grads."""
+    from pointcloud_tpu.ops.chamfer import chamfer_distance
+
+    x = jnp.asarray(rng.random((2, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 64, 3), dtype=np.float32))
+    g_fast = jax.grad(lambda a: chamfer_distance(a, y))(x)
+    g_ref = jax.grad(lambda a: chamfer_distance(a, y, method="direct"))(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-6)
+    gy_fast = jax.grad(lambda b: chamfer_distance(x, b))(y)
+    gy_ref = jax.grad(lambda b: chamfer_distance(x, b, method="direct"))(y)
+    np.testing.assert_allclose(np.asarray(gy_fast), np.asarray(gy_ref), atol=1e-6)
+
+
 def test_fps_auto_dispatch_cpu_uses_xla(rng):
     """On CPU, impl='auto' must route to the XLA path (no TPU lowering)."""
     xyz = jnp.asarray(rng.random((1, 50, 3), dtype=np.float32))
