@@ -119,6 +119,16 @@ class EarthMoverDistance(LossBase):
         self.method = method or cfg.emd_method
 
     def __call__(self, pred, target):
+        if cfg.debug:
+            # EMD precondition: coords normalized to the unit cube
+            # (reference emd_module.py:38-41 asserts; we warn)
+            for name, pc in (("pred", pred), ("target", target)):
+                bad = jnp.logical_or(
+                    jnp.min(pc[:, :, :3]) < -1e-3, jnp.max(pc[:, :, :3]) > 1 + 1e-3
+                )
+                jax.debug.print(
+                    "DEBUG: EMD {n} coords outside [0,1]: {b}", n=name, b=bad
+                )
         dists, assignment = emd_match(
             pred[:, :, :3], target[:, :, :3], self.eps, self.iterations, self.method
         )

@@ -200,8 +200,15 @@ def class_mean_pos(pc, cls: int, seg_dim: int, mask=None):
     mask = _ensure_mask(pc, mask)
     sel = mask & (pc[..., seg_dim].astype(jnp.int32) == cls)
     w = sel.astype(pc.dtype)
-    denom = jnp.maximum(jnp.sum(w), 1.0)
-    return jnp.sum(pc[..., :3] * w[..., None], axis=0) / denom
+    count = jnp.sum(w)
+    from pointcloud_tpu import cfg
+
+    if cfg.debug:
+        # reference warns when the class has no points (utils.py:196-199)
+        jax.debug.print(
+            "DEBUG: class_mean_pos cls={c} count={n}", c=cls, n=count
+        )
+    return jnp.sum(pc[..., :3] * w[..., None], axis=0) / jnp.maximum(count, 1.0)
 
 
 def seg_to_color(labels, class_colors):
