@@ -46,9 +46,14 @@ class SyntheticBackend:
     def __init__(self, robo_kwargs: dict, scene: str, seed: int = 0, horizon: int = 500):
         from pointcloud_tpu.envs.synthetic import SyntheticScene, TABLE_Z, CUBE_SIZE
 
+        if scene not in ("Table", "Cube"):
+            raise NotImplementedError(
+                f"scene {scene!r} has no synthetic backend — install robosuite "
+                "(pip install 'pointcloud_tpu[sim]') to use this environment"
+            )
         self._table_z = TABLE_Z
         self._cube_size = CUBE_SIZE
-        self.scene = scene if scene in ("Table", "Cube") else "Cube"
+        self.scene = scene
         self.sim = SyntheticScene(scene=self.scene, seed=seed)
         self.horizon = horizon
         self.timestep = 0

@@ -170,3 +170,13 @@ def test_time_limit_truncates():
         assert not term
     assert truncated
     env.close()
+
+
+def test_peginhole_without_robosuite_raises_clearly():
+    """PegInHole has no synthetic backend; the error must say why."""
+    from pointcloud_tpu.envs.backends import robosuite_available
+
+    if robosuite_available():
+        pytest.skip("robosuite installed")
+    with pytest.raises(Exception, match="robosuite"):
+        gym.make("RoboPegInHole-v0").reset()
