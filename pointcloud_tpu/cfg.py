@@ -31,6 +31,7 @@ vision_batch_size = 25  # cfg.py:28
 vision_epochs = 100  # cfg.py:29
 vision_lr = 1e-3  # default for Adam, cfg.py:30
 val_every = 4  # validation every n epochs, cfg.py:32
+ckpt_every = 10  # checkpoint every n epochs (plus the final epoch)
 
 # Host-side data pipeline prefetch depth (replaces DataLoader workers,
 # cfg.py:26 — TPU input pipelines prefetch into device memory instead).

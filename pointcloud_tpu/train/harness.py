@@ -549,21 +549,24 @@ def train(
             f"({dt:.1f}s, {step_timer.summary(batch_size, 'clouds')})"
         )
 
-        save_checkpoint(
-            ckpt_dir,
-            epoch,
-            {
-                "params": jax.device_get(params),
-                "batch_stats": jax.device_get(batch_stats),
-                "opt_state_leaves": {
-                    str(i): leaf
-                    for i, leaf in enumerate(
-                        jax.device_get(jax.tree_util.tree_leaves(opt_state))
-                    )
+        # checkpoint transfers the full state off-device — throttle to every
+        # cfg.ckpt_every epochs (+ always the final one)
+        if epoch % cfg.ckpt_every == 0 or epoch == epochs - 1:
+            save_checkpoint(
+                ckpt_dir,
+                epoch,
+                {
+                    "params": jax.device_get(params),
+                    "batch_stats": jax.device_get(batch_stats),
+                    "opt_state_leaves": {
+                        str(i): leaf
+                        for i, leaf in enumerate(
+                            jax.device_get(jax.tree_util.tree_leaves(opt_state))
+                        )
+                    },
+                    "epoch": np.asarray(epoch),
                 },
-                "epoch": np.asarray(epoch),
-            },
-        )
+            )
 
     writer.close()
     return float(loss), ckpt_dir

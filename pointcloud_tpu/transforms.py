@@ -21,7 +21,6 @@ array and returns numpy, matching the reference's `@support_numpy` ergonomics
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
 import jax

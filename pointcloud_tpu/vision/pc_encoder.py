@@ -11,7 +11,6 @@ is a single device program over the sensor's preprocessed cloud.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
