@@ -31,11 +31,18 @@ def main():
     p.add_argument("--loss", default="chamfer", choices=["chamfer", "emd"])
     p.add_argument("--backbone", default="PointNet")
     p.add_argument("--output_root", default="/tmp/bench_output")
+    p.add_argument("--ckpt_every", type=int, default=None,
+                   help="override cfg.ckpt_every (checkpoint transfers are "
+                        "slow through a remote-TPU tunnel)")
     a = p.parse_args()
 
     import jax
 
+    from pointcloud_tpu import cfg
     from pointcloud_tpu.train import train
+
+    if a.ckpt_every is not None:
+        cfg.ckpt_every = a.ckpt_every
 
     print("devices:", jax.devices())
     t0 = time.time()

@@ -543,10 +543,13 @@ def train(
                 _log_mesh(writer, out, batch[1], global_step)
         if val_losses:
             writer.add_scalar("val_loss", float(np.mean(val_losses)), global_step)
+        n_steps = max(len(train_loader), 1)
         print(
             f"epoch {epoch}: train_loss={float(loss):.6f} "
             f"val_loss={np.mean(val_losses) if val_losses else float('nan'):.6f} "
-            f"({dt:.1f}s, {step_timer.summary(batch_size, 'clouds')})"
+            f"({dt:.1f}s, {dt / n_steps * 1e3:.1f} ms/step wall, "
+            f"{n_steps * batch_size / dt:,.0f} clouds/s; "
+            f"dispatch {step_timer.summary(batch_size, 'clouds')})"
         )
 
         # checkpoint transfers the full state off-device — throttle to every
