@@ -83,3 +83,22 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_ring_chamfer_masked(rng, mesh8):
+    """Masks reproduce chamfer_distance's ragged semantics across the ring."""
+    x = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    ym = np.ones((2, 128), bool)
+    ym[:, 40:] = False  # ragged: only the first 40 y are valid
+    xm = np.ones((2, 128), bool)
+    xm[0, ::2] = False
+    want = float(
+        chamfer_distance(x, y, x_mask=jnp.asarray(xm), y_mask=jnp.asarray(ym))
+    )
+    got = float(
+        ring_chamfer(
+            x, y, mesh=mesh8, x_mask=jnp.asarray(xm), y_mask=jnp.asarray(ym)
+        )
+    )
+    assert abs(got - want) <= 1e-5, (got, want)
