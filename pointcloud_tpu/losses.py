@@ -110,6 +110,7 @@ class EarthMoverDistance(LossBase):
         num_classes: int | None = None,
         feature_weight: float = 0.1,
         method: str | None = None,
+        anneal_from: float | None = None,
     ):
         super().__init__()
         self.eps = eps
@@ -117,6 +118,7 @@ class EarthMoverDistance(LossBase):
         self.C = num_classes
         self.feature_weight = feature_weight
         self.method = method or cfg.emd_method
+        self.anneal_from = anneal_from
 
     def __call__(self, pred, target):
         if cfg.debug:
@@ -130,7 +132,8 @@ class EarthMoverDistance(LossBase):
                     "DEBUG: EMD {n} coords outside [0,1]: {b}", n=name, b=bad
                 )
         dists, assignment = emd_match(
-            pred[:, :, :3], target[:, :, :3], self.eps, self.iterations, self.method
+            pred[:, :, :3], target[:, :, :3], self.eps, self.iterations,
+            self.method, self.anneal_from,
         )
         # permute target so matched points share an index (utils.py:254-256)
         target = jnp.take_along_axis(target, assignment[..., None], axis=1)

@@ -37,7 +37,13 @@ def _gather_matched(y: Array, assignment: Array) -> Array:
     return jnp.take_along_axis(y, assignment[..., None].astype(jnp.int32), axis=1)
 
 
-def sinkhorn_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50):
+def sinkhorn_match(
+    x: Array,
+    y: Array,
+    eps: float = 0.005,
+    iters: int = 50,
+    anneal_from: float | None = None,
+):
     """Entropic-OT matching between equal-weight clouds.
 
     x: (B, N, C) predictions, y: (B, M, C) targets. Returns
@@ -46,6 +52,12 @@ def sinkhorn_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50):
     eps is the entropic temperature — the same role as the auction epsilon
     (smaller = sharper matching, more iterations needed), so the reference
     operating points (cfg.py:36-41) carry over.
+
+    anneal_from: optional epsilon-scaling — geometrically decay the
+    temperature from `anneal_from` to `eps` over the iterations. Reaches
+    sharp-matching quality in ~10x fewer iterations than running at the
+    final eps throughout (the practical path to the reference's test
+    operating point, eps=0.002/10000 iters).
     """
     C = pairwise_sqdist(x, y).astype(jnp.float32)  # (B, N, M)
     B, N, M = C.shape
@@ -53,18 +65,24 @@ def sinkhorn_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50):
     log_nu = jnp.full((B, M), -jnp.log(M), dtype=jnp.float32)
     f = jnp.zeros((B, N), dtype=jnp.float32)
     g = jnp.zeros((B, M), dtype=jnp.float32)
-    inv_eps = 1.0 / eps
 
-    def body(_, fg):
+    def eps_at(t):
+        if anneal_from is None:
+            return jnp.float32(eps)
+        frac = t.astype(jnp.float32) / max(iters - 1, 1)
+        return jnp.float32(anneal_from) * (eps / anneal_from) ** frac
+
+    def body(t, fg):
         f, g = fg
+        e = eps_at(t)
         # g_j <- eps * (log nu_j - logsumexp_i((f_i - C_ij)/eps))
-        g = eps * (
+        g = e * (
             log_nu
-            - jax.nn.logsumexp((f[:, :, None] - C) * inv_eps, axis=1)
+            - jax.nn.logsumexp((f[:, :, None] - C) / e, axis=1)
         )
-        f = eps * (
+        f = e * (
             log_mu
-            - jax.nn.logsumexp((g[:, None, :] - C) * inv_eps, axis=2)
+            - jax.nn.logsumexp((g[:, None, :] - C) / e, axis=2)
         )
         return f, g
 
@@ -155,15 +173,23 @@ def auction_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50):
     return dists, assignment
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def emd_match(x: Array, y: Array, eps: float = 0.005, iters: int = 50, method: str = "sinkhorn"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def emd_match(
+    x: Array,
+    y: Array,
+    eps: float = 0.005,
+    iters: int = 50,
+    method: str = "sinkhorn",
+    anneal_from: float | None = None,
+):
     """EMD matching with the reference's gradient contract.
 
     Returns (dists (B, N), assignment (B, N) int32). Gradient flows to `x`
     only, through the matched squared distance with the assignment treated
     as constant: dx = 2 * g * (x - y[assignment]) (emd_cuda.cu:284-316).
+    anneal_from: optional Sinkhorn epsilon-scaling start temperature.
     """
-    return _emd_forward(x, y, eps, iters, method)
+    return _emd_forward(x, y, eps, iters, method, anneal_from)
 
 
 def _use_pallas() -> bool:
@@ -173,7 +199,7 @@ def _use_pallas() -> bool:
         return False
 
 
-def _emd_forward(x, y, eps, iters, method):
+def _emd_forward(x, y, eps, iters, method, anneal_from=None):
     if method == "auction":
         return auction_match(x, y, eps=eps, iters=iters)
     # On TPU the fused Pallas kernel (3x the XLA path) handles clouds whose
@@ -181,16 +207,18 @@ def _emd_forward(x, y, eps, iters, method):
     if _use_pallas() and x.shape[1] % 64 == 0:
         from pointcloud_tpu.ops.pallas_kernels import sinkhorn_match_pallas
 
-        return sinkhorn_match_pallas(x, y, eps=float(eps), iters=int(iters))
-    return sinkhorn_match(x, y, eps=eps, iters=iters)
+        return sinkhorn_match_pallas(
+            x, y, eps=float(eps), iters=int(iters), anneal_from=anneal_from
+        )
+    return sinkhorn_match(x, y, eps=eps, iters=iters, anneal_from=anneal_from)
 
 
-def _emd_fwd(x, y, eps, iters, method):
-    dists, assignment = _emd_forward(x, y, eps, iters, method)
+def _emd_fwd(x, y, eps, iters, method, anneal_from=None):
+    dists, assignment = _emd_forward(x, y, eps, iters, method, anneal_from)
     return (dists, assignment), (x, y, assignment)
 
 
-def _emd_bwd(eps, iters, method, residuals, grads):
+def _emd_bwd(eps, iters, method, anneal_from, residuals, grads):
     x, y, assignment = residuals
     g_dists, _ = grads  # assignment is int — no gradient
     matched = _gather_matched(y, assignment)

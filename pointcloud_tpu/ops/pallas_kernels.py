@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _sinkhorn_kernel(
     x_ref, yt_ref, dists_ref, assign_ref, f_ref, g_ref,
-    *, n, m, iters, eps, tile,
+    *, n, m, iters, eps, tile, anneal_from=None,
 ):
     """Flash-style Sinkhorn: the (N, M) cost matrix is never materialized.
 
@@ -48,7 +48,6 @@ def _sinkhorn_kernel(
     ~4 full passes over a 16 MB C per batch element) with a compute-bound
     kernel: per iteration only 2 recomputed passes of MXU+VPU work.
     """
-    inv_eps = 1.0 / eps
     log_mu = -jnp.log(jnp.float32(n))
     log_nu = -jnp.log(jnp.float32(m))
     NEG = jnp.float32(-1e30)
@@ -70,7 +69,15 @@ def _sinkhorn_kernel(
     f_ref[:, :] = jnp.zeros((n, 1), jnp.float32)
     g_ref[:, :] = jnp.zeros((1, m), jnp.float32)
 
-    def iteration(_, carry):
+    def iteration(it, carry):
+        # epsilon scaling: geometric decay anneal_from -> eps (optional)
+        if anneal_from is None:
+            e = jnp.float32(eps)
+        else:
+            frac = it.astype(jnp.float32) / max(iters - 1, 1)
+            e = jnp.float32(anneal_from) * (eps / anneal_from) ** frac
+        inv_eps = 1.0 / e
+
         # ---- g update (uses old f): online logsumexp over rows ----
         def sweep1(i, acc):
             m_acc, s_acc = acc  # (1, M) running max / scaled sum
@@ -88,7 +95,7 @@ def _sinkhorn_kernel(
             sweep1,
             (jnp.full((1, m), NEG), jnp.zeros((1, m), jnp.float32)),
         )
-        g_ref[:, :] = eps * (log_nu - (m_acc + jnp.log(s_acc)))
+        g_ref[:, :] = e * (log_nu - (m_acc + jnp.log(s_acc)))
 
         # ---- f update (uses new g): per-tile logsumexp over lanes ----
         def sweep2(i, _):
@@ -97,7 +104,7 @@ def _sinkhorn_kernel(
             lse = m_t + jnp.log(
                 jnp.sum(jnp.exp(t - m_t), axis=1, keepdims=True)
             )
-            f_ref[pl.ds(i * tile, tile), :] = eps * (log_mu - lse)
+            f_ref[pl.ds(i * tile, tile), :] = e * (log_mu - lse)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, sweep2, 0)
@@ -124,13 +131,16 @@ def _sinkhorn_kernel(
     jax.lax.fori_loop(0, n_tiles, final, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "iters", "interpret", "anneal_from")
+)
 def sinkhorn_match_pallas(
     x: jax.Array,
     y: jax.Array,
     eps: float = 0.005,
     iters: int = 50,
     interpret: bool = False,
+    anneal_from: float | None = None,
 ):
     """Fused-Sinkhorn matching: x (B, N, C), y (B, M, C) ->
     (dists (B, N), assignment (B, N) int32), same contract/semantics as
@@ -145,7 +155,8 @@ def sinkhorn_match_pallas(
     yt = jnp.swapaxes(y, 1, 2)  # (B, 3, M)
 
     kernel = functools.partial(
-        _sinkhorn_kernel, n=N, m=M, iters=iters, eps=float(eps), tile=tile
+        _sinkhorn_kernel, n=N, m=M, iters=iters, eps=float(eps), tile=tile,
+        anneal_from=None if anneal_from is None else float(anneal_from),
     )
     dists, assign = pl.pallas_call(
         kernel,

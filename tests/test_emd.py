@@ -97,3 +97,20 @@ def test_sinkhorn_beats_random_matching(rng):
     C = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
     random_cost = float(C.mean())  # expected cost of a uniformly random match
     assert matched_cost < 0.5 * random_cost
+
+
+def test_sinkhorn_annealing_matches_long_run(rng):
+    """Epsilon-scaled Sinkhorn at few iters reaches the matching quality of a
+    long constant-eps run (the practical test-operating-point path)."""
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    d_long, a_long = sinkhorn_match(x, y, eps=0.002, iters=400)
+    d_fast, a_fast = sinkhorn_match(x, y, eps=0.002, iters=60, anneal_from=0.1)
+    agree = float(np.mean(np.asarray(a_long) == np.asarray(a_fast)))
+    assert agree >= 0.9, agree
+    # matched transport cost comparable
+    assert float(np.asarray(d_fast).mean()) <= float(np.asarray(d_long).mean()) * 1.1
+    # and far better than a short constant-eps run of the same length
+    d_const, a_const = sinkhorn_match(x, y, eps=0.002, iters=60)
+    agree_const = float(np.mean(np.asarray(a_long) == np.asarray(a_const)))
+    assert agree >= agree_const

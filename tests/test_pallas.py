@@ -130,3 +130,14 @@ def test_fps_auto_dispatch_cpu_uses_xla(rng):
     a = np.asarray(farthest_point_sample(xyz, 8, impl="auto"))
     b = np.asarray(farthest_point_sample(xyz, 8, impl="xla"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sinkhorn_pallas_annealing(rng):
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    d_ref, a_ref = sinkhorn_match(x, y, eps=0.005, iters=40, anneal_from=0.1)
+    d_pal, a_pal = sinkhorn_match_pallas(
+        x, y, eps=0.005, iters=40, anneal_from=0.1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pal), atol=1e-6)
