@@ -88,3 +88,37 @@ def test_assemble_prediction_statepredictor(rng):
         assert len(g_xyz) == 300
     finally:
         scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=2048)
+
+
+def test_assemble_prediction_segmenter_and_multiseg(rng):
+    import jax
+
+    from pointcloud_tpu.envs import scenes
+    from pointcloud_tpu.train.harness import create_model
+    from pointcloud_tpu.viewers.reconstruct import assemble_prediction
+
+    colors = scenes.cfg_scene["Cube"]["class_colors"]
+    scenes.cfg_scene["Cube"] = dict(scenes.cfg_scene["Cube"], sample_points=64)
+    try:
+        x = rng.random((64, 6), dtype=np.float32)
+        target = np.concatenate(
+            [rng.random((64, 3), dtype=np.float32),
+             rng.integers(0, 5, (64, 1)).astype(np.float32)], axis=1
+        )
+        for model_type in ("Segmenter", "MultiSegmenter"):
+            spec, _ = create_model(model_type, "PointNet", "Cube")
+            variables = spec.model.init(
+                jax.random.PRNGKey(0), np.asarray(x)[None], train=False
+            )
+            p_xyz, p_rgb, g_xyz, g_rgb = assemble_prediction(
+                model_type, spec, variables, x, target, class_colors=colors
+            )
+            assert p_xyz.shape[1] == 3 and p_rgb.shape == p_xyz.shape
+            assert len(g_xyz) == 64
+            # colors come from the class palette
+            palette = {tuple(c) for c in np.asarray(colors, np.float32)}
+            assert all(tuple(c) in palette for c in p_rgb[:10])
+    finally:
+        scenes.cfg_scene["Cube"] = dict(
+            scenes.cfg_scene["Cube"], sample_points=2048
+        )
