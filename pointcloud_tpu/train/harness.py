@@ -322,11 +322,15 @@ def make_eval_step(spec: TrainSpec):
     def step(params, batch_stats, x_raw, y_raw):
         x = _apply_tf(spec.in_transform, x_raw)
         y = y_raw if spec.dict_target else _apply_tf(spec.out_transform, y_raw)
-        loss, (_, logs) = _forward_loss(spec, params, batch_stats, x, y, False)
-        # also return a sample prediction for mesh logging (train.py:43-53)
+        logs = {}
+        spec.loss.log = lambda k, v: logs.__setitem__(k, v)
         out = spec.model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False
         )
+        loss = spec.loss(out, y)
+        spec.loss.log = lambda k, v: None
+        # `out` doubles as the sample prediction for mesh logging
+        # (train.py:43-53) — one forward pass serves both
         return loss, logs, out
 
     return jax.jit(step)
@@ -497,7 +501,7 @@ def train(
 
     writer = _make_writer(run_dir)
     global_step = start_epoch * max(len(train_loader), 1)
-    last_loss = float("nan")
+    loss = jnp.float32(float("nan"))  # defined even if no epochs run
 
     from pointcloud_tpu.utils.profiling import StepTimer, trace
 
@@ -523,15 +527,15 @@ def train(
                 profile_ctx = None
                 print(f"profile trace written to {run_dir}/profile")
             global_step += 1
+            # scalar logging every val_every steps (the reference's
+            # log_every_n_steps cadence, train.py:198)
             if global_step % cfg.val_every == 0:
-                last_loss = float(loss)
-                writer.add_scalar("train_loss", last_loss, global_step)
+                writer.add_scalar("train_loss", float(loss), global_step)
                 for k, v in logs.items():
                     writer.add_scalar(k, float(v), global_step)
         dt = time.time() - t0
 
-        # validation every val_every epochs (cfg.val_every doubles as the
-        # reference's log cadence)
+        # validation every epoch (Lightning default in the reference)
         val_losses = []
         for bi, (x_raw, y_raw) in enumerate(val_loader):
             batch = (x_raw, y_raw)
