@@ -27,6 +27,12 @@ OUTPUT_ROOT = os.environ.get("PCTPU_OUTPUT_ROOT", "output")
 def model_path(scene, model, backbone="PointNet2", version=None, output_root=None):
     root = output_root or OUTPUT_ROOT
     base = os.path.join(root, scene, f"{model}_{backbone}")
+    if not os.path.isdir(base):
+        raise FileNotFoundError(
+            f"no trained {model}_{backbone} checkpoints for scene {scene!r} "
+            f"under {base!r} — train one first, e.g.: "
+            f"python train.py {scene} {model} --backbone {backbone}"
+        )
     if version is None:
         versions = sorted(
             (d for d in os.listdir(base) if d.startswith("version_")),
