@@ -98,6 +98,7 @@ def ddpg(
     Returns (params dict, eval success rate history).
     """
     env, test_env = env_fn(), env_fn()
+    env.action_space.seed(seed)  # deterministic exploration
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 

@@ -116,6 +116,7 @@ def tqc(
     rl/tqc.yml:207-277 (gamma .95, net widths per task there). Returns
     (TQC policy, eval success history)."""
     env, test_env = env_fn(), env_fn()
+    env.action_space.seed(seed)  # deterministic exploration
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
