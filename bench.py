@@ -72,6 +72,53 @@ def main():
     clouds_per_sec = B * iters / dt
     log(f"AE fwd+loss: {clouds_per_sec:,.0f} clouds/s (loss={float(loss):.5f})")
 
+    # ---- train-step throughput: fwd+bwd+Adam (the number training feels) ----
+    import optax
+
+    Bt = 256
+    xt = jnp.asarray(rng.random((Bt, 2048, 6), dtype=np.float32))
+    tvars = model.init(jax.random.PRNGKey(0), xt[:1], train=True)
+    tx = optax.adam(1e-3)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return (
+                chamfer_distance(out[..., :3], x[..., :3]),
+                mut["batch_stats"],
+            )
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    params, batch_stats = tvars["params"], tvars["batch_stats"]
+    opt_state = tx.init(params)
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, xt
+    )
+    float(loss)  # compile + warmup (forced host sync)
+    t0 = time.perf_counter()
+    titers = 10
+    for _ in range(titers):
+        # chained dependency: params evolve each step, so no call can be elided
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, xt
+        )
+    float(loss)
+    dt = time.perf_counter() - t0
+    train_clouds_per_sec = Bt * titers / dt
+    log(
+        f"AE train step (fwd+bwd+Adam) B={Bt}: {dt / titers * 1e3:.1f} ms "
+        f"-> {train_clouds_per_sec:,.0f} clouds/s"
+    )
+
     # ---- auxiliary: Pallas FPS kernel vs XLA loop (stderr only) ----
     try:
         from pointcloud_tpu.ops.fps import farthest_point_sample
@@ -95,6 +142,7 @@ def main():
                 "value": round(clouds_per_sec, 1),
                 "unit": "clouds/sec/chip",
                 "vs_baseline": round(clouds_per_sec / 10_000, 3),
+                "train_step_clouds_per_sec": round(train_clouds_per_sec, 1),
             }
         )
     )

@@ -122,7 +122,8 @@ def test_create_model_encoder_only_strips_decoder(data_root, tmp_path):
 
 
 def test_training_actually_learns(data_root, tmp_path):
-    """10 epochs of chamfer AE on 16 samples must cut the loss by >2x."""
+    """8 epochs of chamfer AE on 16 samples must cut the loss by >2x
+    vs a 1-epoch run."""
     losses = []
     loss, ckpt_dir = train(
         "Autoencoder",
@@ -147,4 +148,4 @@ def test_training_actually_learns(data_root, tmp_path):
         loss_override="chamfer",
         log_meshes=False,
     )
-    assert loss < first_loss, (loss, first_loss)
+    assert loss < first_loss / 2, (loss, first_loss)
