@@ -190,50 +190,60 @@ def sinkhorn_match_pallas(
 ############################ fused Chamfer (nearest neighbor) ############################
 
 
-def _nn_kernel(x_ref, yt_ref, xm_ref, ym_ref,
+def _nn_kernel(xa_ref, yb_ref, s2_ref, d2_ref,
                minx_ref, aminx_ref, miny_ref, aminy_ref, *, n, m, tile):
     """Bidirectional nearest-neighbor sweep without materializing C in HBM.
 
-    Row tiles of the cost matrix are recomputed in VMEM (direct fp32
-    squared-difference) and reduced twice on the fly:
+    Row tiles of the cost matrix are reconstructed in VMEM from pre-split
+    bf16 operands and reduced twice on the fly:
+      C_tile = s2 + d2 - 2 * (xa_tile @ yb)   [one K=12 MXU dot]
+    where xa = [x_hi, x_lo, x_hi, x_lo] and yb = [y_hi; y_hi; y_lo; y_lo]
+    reconstruct the fp32 cross term to ~2^-17 relative error (split-bf16:
+    hi*hi + lo*hi + hi*lo + lo*lo, fp32 accumulation). Validity masks are
+    pre-folded into s2/d2 as +BIG penalties by the caller, so no per-tile
+    masking passes are needed. Both selection and the returned values use
+    the ~3e-5-accurate C (zero-mean error — see the wrapper docstring for
+    why no exact refinement pass exists).
+
+    Reductions:
       x-side: per-row lane min + argmin (min-lane-where-equal tie-break);
       y-side: online column min with a running (value, row-index) pair —
         the running value wins ties, so the FIRST minimal row is kept,
         matching jnp.argmin.
-    Masked-out points are pushed to +BIG on both sides.
     """
     BIG = jnp.float32(1e10)
     n_tiles = n // tile
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 0)
-    y_invalid = ym_ref[:, :] < 0.5  # (1, M)
+    d2 = d2_ref[:, :]  # (1, M), +BIG on invalid y
+    yb = yb_ref[:, :]  # (12, M) bf16
 
     def c_tile(i):
-        acc = None
-        for d in range(3):
-            xd = x_ref[pl.ds(i * tile, tile), d : d + 1]
-            yd = yt_ref[d : d + 1, :]
-            diff = xd - yd
-            acc = diff * diff if acc is None else acc + diff * diff
-        return acc
+        cross = jax.lax.dot_general(
+            xa_ref[pl.ds(i * tile, tile), :],
+            yb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = s2_ref[pl.ds(i * tile, tile), :]  # (tile, 1), +BIG on invalid x
+        return s2 + (d2 - 2.0 * cross)
 
     def sweep(i, acc):
         best_v, best_i = acc  # (1, M) running column min + row index
         C = c_tile(i)
-        x_invalid = xm_ref[pl.ds(i * tile, tile), :] < 0.5  # (tile, 1)
 
         # ---- x side: nearest valid y per row ----
-        Cx = jnp.where(y_invalid, BIG, C)
-        mn = jnp.min(Cx, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(Cx == mn, lane, m), axis=1, keepdims=True)
-        minx_ref[pl.ds(i * tile, tile), :] = mn
+        mn = jnp.min(C, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(C == mn, lane, m), axis=1, keepdims=True)
+        # clamp split-bf16 round-off (can dip ~1e-5 below 0 for coincident
+        # points); the BIG sentinel for masked rows survives the max
+        minx_ref[pl.ds(i * tile, tile), :] = jnp.maximum(mn, 0.0)
         aminx_ref[pl.ds(i * tile, tile), :] = am.astype(jnp.int32)
 
         # ---- y side: online column min over valid x rows ----
-        Cy = jnp.where(x_invalid, BIG, C)
-        col_v = jnp.min(Cy, axis=0, keepdims=True)  # (1, M)
+        col_v = jnp.min(C, axis=0, keepdims=True)  # (1, M)
         col_i = jnp.min(
-            jnp.where(Cy == col_v, row + i * tile, n), axis=0, keepdims=True
+            jnp.where(C == col_v, row + i * tile, n), axis=0, keepdims=True
         )
         take = col_v < best_v  # strict: earlier tiles win ties
         best_i = jnp.where(take, col_i, best_i)
@@ -246,8 +256,22 @@ def _nn_kernel(x_ref, yt_ref, xm_ref, ym_ref,
         sweep,
         (jnp.full((1, m), BIG), jnp.zeros((1, m), jnp.int32)),
     )
-    miny_ref[:, :] = best_v
+    miny_ref[:, :] = jnp.maximum(best_v, 0.0)
     aminy_ref[:, :] = best_i.astype(jnp.int32)
+
+
+def _split_bf16(v: jax.Array):
+    """Split fp32 into (hi, lo) bf16 with hi + lo capturing ~16 mantissa
+    bits: the MXU-friendly decomposition behind the K=12 cross-term dot.
+
+    The optimization_barrier is load-bearing: under jit, XLA's
+    allow-excess-precision pass folds f32(bf16(v)) -> v, which silently
+    turns lo into bf16(v - v) = 0 and degrades the split to plain bf16
+    (observed: selection error 1e-4 -> 1e-2 without it).
+    """
+    hi = jax.lax.optimization_barrier(v.astype(jnp.bfloat16))
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -260,31 +284,47 @@ def nearest_neighbor_pallas(
 ):
     """x (B, N, 3), y (B, M, 3) -> (min_x (B,N), amin_x (B,N) i32,
     min_y (B,M), amin_y (B,M) i32): squared distance + index of each point's
-    nearest valid counterpart. Masked points receive BIG distances."""
+    nearest valid counterpart. Masked points receive >=BIG distances.
+
+    Distances come from a split-bf16 MXU reconstruction of C: per-point
+    error <= ~3e-5 absolute for unit-cube clouds (zero-mean, so batch-mean
+    chamfer parity vs the exact oracle is ~1e-7 — measured 100x inside the
+    1e-5 BASELINE guard). Where two candidates sit within that error the
+    index may name the (equidistant to ~3e-5) runner-up; exact per-pair
+    recomputation was measured SLOWER than the whole sweep (XLA TPU gather
+    ~9 ms at B=512 vs 10 ms for the kernel), so consumers needing exact
+    values for the selected pair recompute them from the indices (the
+    chamfer VJP does exactly this).
+    """
     B, N, _ = x.shape
     M = y.shape[1]
     tile = 512
     while N % tile:
         tile //= 2
+    BIG = jnp.float32(1e10)
     x = x[..., :3].astype(jnp.float32)
-    yt = jnp.swapaxes(y[..., :3].astype(jnp.float32), 1, 2)
-    xm = (
-        jnp.ones((B, N, 1), jnp.float32)
-        if x_mask is None
-        else x_mask.astype(jnp.float32)[..., None]
-    )
-    ym = (
-        jnp.ones((B, 1, M), jnp.float32)
-        if y_mask is None
-        else y_mask.astype(jnp.float32)[:, None, :]
-    )
+    y = y[..., :3].astype(jnp.float32)
+    yt = jnp.swapaxes(y, 1, 2)  # (B, 3, M)
+
+    x_hi, x_lo = _split_bf16(x)
+    y_hi, y_lo = _split_bf16(yt)
+    xa = jnp.concatenate([x_hi, x_lo, x_hi, x_lo], axis=-1)  # (B, N, 12)
+    yb = jnp.concatenate([y_hi, y_hi, y_lo, y_lo], axis=1)  # (B, 12, M)
+
+    s2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, N, 1)
+    d2 = jnp.sum(yt * yt, axis=1, keepdims=True)  # (B, 1, M)
+    if x_mask is not None:
+        s2 = s2 + jnp.where(x_mask[..., None], 0.0, BIG)
+    if y_mask is not None:
+        d2 = d2 + jnp.where(y_mask[:, None, :], 0.0, BIG)
+
     kernel = functools.partial(_nn_kernel, n=N, m=M, tile=tile)
     minx, aminx, miny, aminy = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((None, N, 3), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, 3, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, N, 12), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 12, M), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, 1, M), lambda b: (b, 0, 0)),
         ],
@@ -304,7 +344,7 @@ def nearest_neighbor_pallas(
             vmem_limit_bytes=min(24 * tile * M + (8 << 20), 120 << 20)
         ),
         interpret=interpret,
-    )(x, yt, xm, ym)
+    )(xa, yb, s2, d2)
     return minx[..., 0], aminx[..., 0], miny[:, 0, :], aminy[:, 0, :]
 
 

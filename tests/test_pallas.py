@@ -91,10 +91,22 @@ def test_nearest_neighbor_pallas_matches_xla(rng):
     y = jnp.asarray(rng.random((2, 192, 3), dtype=np.float32))
     minx, aminx, miny, aminy = nearest_neighbor_pallas(x, y, interpret=True)
     d = np.asarray(pairwise_sqdist(x, y, method="direct"))
-    np.testing.assert_allclose(np.asarray(minx), d.min(2), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(aminx), d.argmin(2))
-    np.testing.assert_allclose(np.asarray(miny), d.min(1), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(aminy), d.argmin(1))
+    # Contract: distances within the split-bf16 error (~3e-5) of the true
+    # minimum; the index must name a point whose exact distance is within
+    # that same error of the minimum (near-ties may pick the runner-up).
+    np.testing.assert_allclose(np.asarray(minx), d.min(2), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(miny), d.min(1), atol=5e-5)
+    bi = np.arange(2)[:, None]
+    np.testing.assert_allclose(
+        d[bi, np.arange(128)[None], np.asarray(aminx)], d.min(2), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        d[bi, np.asarray(aminy), np.arange(192)[None]], d.min(1), atol=5e-5
+    )
+    # batch-mean parity is far tighter than per-point (zero-mean error)
+    got = np.asarray(minx).mean() + np.asarray(miny).mean()
+    want = d.min(2).mean() + d.min(1).mean()
+    assert abs(got - want) <= 1e-5, (got, want)
 
 
 def test_nearest_neighbor_pallas_masked(rng):
