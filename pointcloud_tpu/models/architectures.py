@@ -43,12 +43,15 @@ class MLP(nn.Module):
     hidden_sizes: Sequence[int]
     output_size: int
     output_activation: str | None = "relu"
+    dtype: jnp.dtype | None = None  # hidden compute dtype; output stays fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for h in self.hidden_sizes:
-            x = nn.relu(nn.Dense(h)(x))
-        x = nn.Dense(self.output_size)(x)
+            x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
+        # final layer in fp32: decoder coordinates / logits keep full
+        # precision regardless of the hidden compute dtype
+        x = nn.Dense(self.output_size)(x.astype(jnp.float32))
         if self.output_activation == "relu":
             x = nn.relu(x)
         elif self.output_activation == "sigmoid":
@@ -63,10 +66,14 @@ class PCDecoder(nn.Module):
     out_points: int
     out_dim: int
     hidden_sizes: Sequence[int] = (512, 1024, 2048)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = MLP(self.hidden_sizes, self.out_points * self.out_dim, "sigmoid")(x)
+        x = MLP(
+            self.hidden_sizes, self.out_points * self.out_dim, "sigmoid",
+            dtype=self.dtype,
+        )(x)
         return x.reshape(-1, self.out_points, self.out_dim)
 
 
@@ -77,11 +84,14 @@ class PCSegmenter(nn.Module):
     out_points: int
     num_classes: int
     hidden_sizes: Sequence[int] = (512, 1024, 2048)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_dim = 3 + self.num_classes
-        x = MLP(self.hidden_sizes, self.out_points * out_dim, None)(x)
+        x = MLP(
+            self.hidden_sizes, self.out_points * out_dim, None, dtype=self.dtype
+        )(x)
         x = x.reshape(-1, self.out_points, out_dim)
         xyz = nn.sigmoid(x[..., :3])
         return jnp.concatenate([xyz, x[..., 3:]], axis=-1)
@@ -95,11 +105,15 @@ class PCEncoder(nn.Module):
     bottleneck: int
     hidden_sizes: Sequence[int] = ()
     output_activation: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         h = self.backbone(x, train=train, mask=mask)
-        return MLP(self.hidden_sizes, self.bottleneck, self.output_activation)(h)
+        return MLP(
+            self.hidden_sizes, self.bottleneck, self.output_activation,
+            dtype=self.dtype,
+        )(h)
 
 
 class GTEncoder(nn.Module):
@@ -109,11 +123,12 @@ class GTEncoder(nn.Module):
     backbone: nn.Module
     out_dim: int
     hidden_sizes: Sequence[int] = (512, 256, 128)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         h = self.backbone(x, train=train, mask=mask)
-        return MLP(self.hidden_sizes, self.out_dim, "sigmoid")(h)
+        return MLP(self.hidden_sizes, self.out_dim, "sigmoid", dtype=self.dtype)(h)
 
 
 class PCEncoderDecoder(nn.Module):
@@ -131,19 +146,33 @@ class PCEncoderDecoder(nn.Module):
         return self.encoder(x, train=train, mask=mask)
 
 
-def AE(preencoder, out_points: int = 2048, out_dim: int = 6, bottleneck: int = 16):
+def AE(
+    preencoder,
+    out_points: int = 2048,
+    out_dim: int = 6,
+    bottleneck: int = 16,
+    dtype=None,
+):
     """Global autoencoder (reference architectures.py:35-38)."""
     return PCEncoderDecoder(
-        encoder=PCEncoder(backbone=preencoder, bottleneck=bottleneck),
-        decoder=PCDecoder(out_points=out_points, out_dim=out_dim),
+        encoder=PCEncoder(backbone=preencoder, bottleneck=bottleneck, dtype=dtype),
+        decoder=PCDecoder(out_points=out_points, out_dim=out_dim, dtype=dtype),
     )
 
 
-def SegAE(preencoder, num_classes: int, out_points: int = 2048, bottleneck: int = 16):
+def SegAE(
+    preencoder,
+    num_classes: int,
+    out_points: int = 2048,
+    bottleneck: int = 16,
+    dtype=None,
+):
     """Autoencoder with segmentation output (reference architectures.py:40-43)."""
     return PCEncoderDecoder(
-        encoder=PCEncoder(backbone=preencoder, bottleneck=bottleneck),
-        decoder=PCSegmenter(out_points=out_points, num_classes=num_classes),
+        encoder=PCEncoder(backbone=preencoder, bottleneck=bottleneck, dtype=dtype),
+        decoder=PCSegmenter(
+            out_points=out_points, num_classes=num_classes, dtype=dtype
+        ),
     )
 
 
@@ -160,11 +189,15 @@ class MultiSegAE(nn.Module):
     preencoder: nn.Module
     class_labels: Mapping[str, int]
     name_points_dims: Sequence[Tuple[str, int, int]]
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         dim = encoding_dim_of(self.preencoder)
         self.bottlenecks = {
-            name: MLP((512, 256), bneck, None, name=f"bottleneck_{name}")
+            name: MLP(
+                (512, 256), bneck, None, dtype=self.dtype,
+                name=f"bottleneck_{name}",
+            )
             for name, _, bneck in self.name_points_dims
         }
         self.decoders = {
@@ -172,6 +205,7 @@ class MultiSegAE(nn.Module):
                 out_points=npts,
                 out_dim=3,
                 hidden_sizes=(256, 512),
+                dtype=self.dtype,
                 name=f"decoder_{name}",
             )
             for name, npts, _ in self.name_points_dims
@@ -220,10 +254,14 @@ class MultiGTEncoder(nn.Module):
 
     preencoder: nn.Module
     state_dims: Mapping[str, int]
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         self.heads = {
-            name: MLP((512, 256, 128), dim, "sigmoid", name=f"head_{name}")
+            name: MLP(
+                (512, 256, 128), dim, "sigmoid", dtype=self.dtype,
+                name=f"head_{name}",
+            )
             for name, dim in dict(self.state_dims).items()
         }
 

@@ -31,11 +31,14 @@ class DenseBNAct(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
         return nn.relu(x)
 
 
@@ -46,14 +49,17 @@ class ResBlock(nn.Module):
     channels: int
     res_expansion: float = 1.0
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = DenseBNAct(int(self.channels * self.res_expansion), self.use_bias)(
-            x, train=train
-        )
-        h = nn.Dense(self.channels, use_bias=self.use_bias)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = DenseBNAct(
+            int(self.channels * self.res_expansion), self.use_bias, self.dtype
+        )(x, train=train)
+        h = nn.Dense(self.channels, use_bias=self.use_bias, dtype=self.dtype)(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(h)
         return nn.relu(h + x)
 
 
@@ -95,10 +101,12 @@ class LocalGrouper(nn.Module):
             # (reference pointmlp.py:174: torch.std over the flattened rest,
             # unbiased)
             centered = grouped - mean
-            var = jnp.var(centered.reshape(B, -1), axis=-1)
-            n = centered.reshape(B, -1).shape[-1]
+            # accumulate the std in fp32 even when activations are bf16
+            flat = centered.reshape(B, -1).astype(jnp.float32)
+            var = jnp.var(flat, axis=-1)
+            n = flat.shape[-1]
             std = jnp.sqrt(var * n / max(n - 1, 1))[:, None, None, None]
-            grouped = centered / (std + 1e-5)
+            grouped = centered / (std.astype(centered.dtype) + 1e-5)
             dim = grouped.shape[-1]
             alpha = self.param("affine_alpha", nn.initializers.ones, (1, 1, 1, dim))
             beta = self.param("affine_beta", nn.initializers.zeros, (1, 1, 1, dim))
@@ -124,14 +132,15 @@ class PreExtraction(nn.Module):
     blocks: int = 1
     res_expansion: float = 1.0
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DenseBNAct(self.out_channels, self.use_bias)(x, train=train)
+        x = DenseBNAct(self.out_channels, self.use_bias, self.dtype)(x, train=train)
         for _ in range(self.blocks):
-            x = ResBlock(self.out_channels, self.res_expansion, self.use_bias)(
-                x, train=train
-            )
+            x = ResBlock(
+                self.out_channels, self.res_expansion, self.use_bias, self.dtype
+            )(x, train=train)
         return jnp.max(x, axis=2)
 
 
@@ -142,13 +151,14 @@ class PosExtraction(nn.Module):
     blocks: int = 1
     res_expansion: float = 1.0
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(self.blocks):
-            x = ResBlock(self.channels, self.res_expansion, self.use_bias)(
-                x, train=train
-            )
+            x = ResBlock(
+                self.channels, self.res_expansion, self.use_bias, self.dtype
+            )(x, train=train)
         return x
 
 
@@ -168,6 +178,7 @@ class PointMLPModel(nn.Module):
     pos_blocks: Sequence[int] = (2, 2, 2, 2)
     k_neighbors: Sequence[int] = (24, 24, 24, 24)
     reducers: Sequence[int] = (2, 2, 2, 2)
+    dtype: jnp.dtype | None = None
 
     @property
     def encoding_dim(self) -> int:
@@ -185,7 +196,9 @@ class PointMLPModel(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         xyz = x[..., :3]
-        feats = DenseBNAct(self.embed_dim, self.use_bias)(xyz, train=train)
+        feats = DenseBNAct(self.embed_dim, self.use_bias, self.dtype)(
+            xyz, train=train
+        )
         anchor_points = xyz.shape[1]
         last_channel = self.embed_dim
         for i in range(len(self.pre_blocks)):
@@ -198,10 +211,12 @@ class PointMLPModel(nn.Module):
                 normalize=self.normalize,
             )(xyz, feats, mask=mask)
             feats = PreExtraction(
-                out_channel, self.pre_blocks[i], self.res_expansion, self.use_bias
+                out_channel, self.pre_blocks[i], self.res_expansion,
+                self.use_bias, self.dtype,
             )(grouped, train=train)
             feats = PosExtraction(
-                out_channel, self.pos_blocks[i], self.res_expansion, self.use_bias
+                out_channel, self.pos_blocks[i], self.res_expansion,
+                self.use_bias, self.dtype,
             )(feats, train=train)
             last_channel = out_channel
         return jnp.max(feats, axis=1)  # (B, 1024)

@@ -35,16 +35,21 @@ class PointwiseMLP(nn.Module):
     Equivalent to the reference's Conv1d(kernel=1)+BatchNorm1d stacks.
     `final_activation=False` leaves the last layer linear (pre-max-pool
     conv3+bn3 in the reference has no ReLU, pointnet.py:159-161).
+    dtype: activation/compute dtype (params and BN stats stay fp32);
+    bfloat16 halves the HBM traffic that dominates BN-heavy stacks on TPU.
     """
 
     features: tuple
     final_activation: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
             if self.final_activation or i < len(self.features) - 1:
                 x = nn.relu(x)
         return x
@@ -55,14 +60,17 @@ class STN(nn.Module):
     reference pointnet.py:12-91). Input (B, N, C) -> (B, k, k)."""
 
     k: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
-        h = PointwiseMLP((64, 128, 1024))(x, train=train)
+        h = PointwiseMLP((64, 128, 1024), dtype=self.dtype)(x, train=train)
         h = masked_max(h, mask, axis=1)  # (B, 1024)
         for f in (512, 256):
-            h = nn.Dense(f)(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = nn.Dense(f, dtype=self.dtype)(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(h)
             h = nn.relu(h)
         h = nn.Dense(self.k * self.k, kernel_init=nn.initializers.zeros)(h)
         iden = jnp.eye(self.k, dtype=h.dtype).reshape(1, self.k * self.k)
@@ -84,13 +92,15 @@ class PointNetEncoder(nn.Module):
     feature_dims: int = 3
     input_transform: bool = True
     feature_transform: bool = True
+    dtype: jnp.dtype | None = None
 
     def setup(self):
-        self.stn = STN(k=self.space_dims) if self.input_transform else None
-        self.mlp0 = PointwiseMLP((64, 64))
-        self.fstn = STN(k=64) if self.feature_transform else None
-        self.mlp1 = PointwiseMLP((64, 128))
-        self.mlp2 = PointwiseMLP((1024,), final_activation=False)
+        dt = self.dtype
+        self.stn = STN(k=self.space_dims, dtype=dt) if self.input_transform else None
+        self.mlp0 = PointwiseMLP((64, 64), dtype=dt)
+        self.fstn = STN(k=64, dtype=dt) if self.feature_transform else None
+        self.mlp1 = PointwiseMLP((64, 128), dtype=dt)
+        self.mlp2 = PointwiseMLP((1024,), final_activation=False, dtype=dt)
 
     def _point_features(self, x, train, mask):
         if self.stn is not None:

@@ -33,6 +33,7 @@ class SetAbstraction(nn.Module):
     nsample: int | None
     mlp: tuple
     group_all: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -52,8 +53,10 @@ class SetAbstraction(nn.Module):
             )
         x = grouped  # (B, S, K, 3+F)
         for f in self.mlp:
-            x = nn.Dense(f)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
             x = nn.relu(x)
         x = jnp.where(gmask[..., None], x, _NEG)
         new_features = jnp.max(x, axis=2)  # (B, S, C_out)
@@ -69,6 +72,7 @@ class SetAbstractionMsg(nn.Module):
     radius_list: tuple
     nsample_list: tuple
     mlp_list: tuple  # tuple of per-branch mlp tuples
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -103,8 +107,10 @@ class SetAbstractionMsg(nn.Module):
                 grouped = grouped_xyz
             h = grouped
             for f in mlp:
-                h = nn.Dense(f)(h)
-                h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+                h = nn.Dense(f, dtype=self.dtype)(h)
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, dtype=self.dtype
+                )(h)
                 h = nn.relu(h)
             h = jnp.where(
                 (in_ball & new_mask[..., None])[..., None], h, _NEG
@@ -124,6 +130,7 @@ class PointNet2Encoder(nn.Module):
 
     space_dims: int = 3
     feature_dims: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
@@ -131,13 +138,14 @@ class PointNet2Encoder(nn.Module):
         feats = x[..., self.space_dims :] if self.feature_dims > 0 else None
 
         xyz, feats, mask = SetAbstraction(
-            npoint=512, radius=0.2, nsample=32, mlp=(64, 64, 128)
+            npoint=512, radius=0.2, nsample=32, mlp=(64, 64, 128), dtype=self.dtype
         )(xyz, feats, train=train, mask=mask)
         xyz, feats, mask = SetAbstraction(
-            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256)
+            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256), dtype=self.dtype
         )(xyz, feats, train=train, mask=mask)
         _, feats, _ = SetAbstraction(
-            npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024), group_all=True
+            npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024),
+            group_all=True, dtype=self.dtype,
         )(xyz, feats, train=train, mask=mask)
         return feats[:, 0, :]  # (B, 1024)
 
@@ -152,20 +160,21 @@ class PointNet2SSGEncoder(nn.Module):
 
     space_dims: int = 3
     feature_dims: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         xyz = x[..., :3]
         feats = x[..., 3:] if x.shape[-1] > 3 else None
         xyz, feats, mask = SetAbstraction(
-            npoint=512, radius=0.2, nsample=64, mlp=(64, 64, 128)
+            npoint=512, radius=0.2, nsample=64, mlp=(64, 64, 128), dtype=self.dtype
         )(xyz, feats, train=train, mask=mask)
         xyz, feats, mask = SetAbstraction(
-            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256)
+            npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256), dtype=self.dtype
         )(xyz, feats, train=train, mask=mask)
         _, feats, _ = SetAbstraction(
             npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024),
-            group_all=True,
+            group_all=True, dtype=self.dtype,
         )(xyz, feats, train=train, mask=mask)
         return feats[:, 0, :]
 
@@ -178,6 +187,7 @@ class PointNet2MSGEncoder(nn.Module):
 
     space_dims: int = 3
     feature_dims: int = 3
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
@@ -188,15 +198,17 @@ class PointNet2MSGEncoder(nn.Module):
             radius_list=(0.1, 0.2, 0.4),
             nsample_list=(16, 32, 128),
             mlp_list=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            dtype=self.dtype,
         )(xyz, feats, train=train, mask=mask)
         xyz, feats, mask = SetAbstractionMsg(
             npoint=128,
             radius_list=(0.2, 0.4, 0.8),
             nsample_list=(32, 64, 128),
             mlp_list=((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+            dtype=self.dtype,
         )(xyz, feats, train=train, mask=mask)
         _, feats, _ = SetAbstraction(
             npoint=None, radius=None, nsample=None, mlp=(256, 512, 1024),
-            group_all=True,
+            group_all=True, dtype=self.dtype,
         )(xyz, feats, train=train, mask=mask)
         return feats[:, 0, :]

@@ -93,7 +93,8 @@ def create_model(
     """
     scene_name = scene
     sc = scene_config(scene_name)
-    encoder_backbone = backbone_factory[backbone](feature_dims=3)
+    dtype = cfg.compute_dtype()  # bf16 activations on TPU (cfg.precision)
+    encoder_backbone = backbone_factory[backbone](feature_dims=3, dtype=dtype)
 
     if model_type == "Autoencoder":
         model = AE(
@@ -101,12 +102,14 @@ def create_model(
             out_points=sc.sample_points,
             out_dim=6,
             bottleneck=sum(sc.class_latent_dim),
+            dtype=dtype,
         )
         if loss_override == "chamfer":
             loss = ChamferDistance()
         else:
             loss = EarthMoverDistance(
-                eps=cfg.emd_eps, its=cfg.emd_iterations, num_classes=None
+                eps=cfg.emd_eps, its=cfg.emd_iterations, num_classes=None,
+                anneal_from=None,  # constant-eps training operating point
             )
         spec = TrainSpec(
             model=model,
@@ -129,8 +132,12 @@ def create_model(
             num_classes=C,
             out_points=sc.sample_points,
             bottleneck=sum(sc.class_latent_dim),
+            dtype=dtype,
         )
-        loss = EarthMoverDistance(eps=cfg.emd_eps, its=cfg.emd_iterations, num_classes=C)
+        loss = EarthMoverDistance(
+            eps=cfg.emd_eps, its=cfg.emd_iterations, num_classes=C,
+            anneal_from=None,  # constant-eps training operating point
+        )
         spec = TrainSpec(
             model=model,
             loss=loss,
@@ -156,6 +163,7 @@ def create_model(
             preencoder=encoder_backbone,
             class_labels=class_labels,
             name_points_dims=tuple(name_points_dims),
+            dtype=dtype,
         )
         loss = SegmentingChamferDistance(class_labels)
         spec = TrainSpec(
@@ -183,7 +191,9 @@ def create_model(
             return (x - lo) / (hi - lo)
 
         transforms = {n: norm_pos for n, d in state_dims.items() if d == 3}
-        model = MultiGTEncoder(preencoder=encoder_backbone, state_dims=state_dims)
+        model = MultiGTEncoder(
+            preencoder=encoder_backbone, state_dims=state_dims, dtype=dtype
+        )
         loss = StatePredictionLoss(list(state_dims), transforms)
         spec = TrainSpec(
             model=model,
@@ -224,6 +234,46 @@ def save_checkpoint(ckpt_dir: str, step: int, payload: dict):
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
+
+
+# One background writer: saves serialize among themselves but overlap with
+# training. The device->host transfer is the expensive part here (~370 MB
+# through the remote-TPU tunnel, ~90 s — benchmarks/RESULTS.md), so it must
+# happen OFF the training thread, not just the file write.
+_ckpt_executor = None
+_pending_saves: list = []
+
+
+def save_checkpoint_async(ckpt_dir: str, step: int, payload: dict):
+    """Checkpoint device-resident state without stalling the train loop.
+
+    Device buffers are first snapshotted on-device (cheap HBM copy) so the
+    train step's donated-argument updates can't invalidate them, then a
+    background thread pulls the snapshot to host and writes the orbax
+    checkpoint. Call `wait_for_checkpoints()` before relying on the files.
+    """
+    import concurrent.futures
+
+    global _ckpt_executor
+    if _ckpt_executor is None:
+        _ckpt_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt"
+        )
+    snap = jax.tree_util.tree_map(
+        lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, payload
+    )
+    fut = _ckpt_executor.submit(
+        lambda: save_checkpoint(ckpt_dir, step, jax.device_get(snap))
+    )
+    _pending_saves.append(fut)
+    return fut
+
+
+def wait_for_checkpoints():
+    """Block until every async checkpoint has been written (re-raises any
+    writer exception)."""
+    while _pending_saves:
+        _pending_saves.pop().result()
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
@@ -556,25 +606,28 @@ def train(
             f"dispatch {step_timer.summary(batch_size, 'clouds')})"
         )
 
-        # checkpoint transfers the full state off-device — throttle to every
-        # cfg.ckpt_every epochs (+ always the final one)
+        # checkpoint: snapshot on-device, transfer+write in the background
+        # (the off-device transfer would otherwise stall the loop ~90 s per
+        # save over the tunnel); throttled to every cfg.ckpt_every epochs
+        # (+ always the final one)
         if epoch % cfg.ckpt_every == 0 or epoch == epochs - 1:
-            save_checkpoint(
+            save_checkpoint_async(
                 ckpt_dir,
                 epoch,
                 {
-                    "params": jax.device_get(params),
-                    "batch_stats": jax.device_get(batch_stats),
+                    "params": params,
+                    "batch_stats": batch_stats,
                     "opt_state_leaves": {
                         str(i): leaf
                         for i, leaf in enumerate(
-                            jax.device_get(jax.tree_util.tree_leaves(opt_state))
+                            jax.tree_util.tree_leaves(opt_state)
                         )
                     },
                     "epoch": np.asarray(epoch),
                 },
             )
 
+    wait_for_checkpoints()
     writer.close()
     return float(loss), ckpt_dir
 
