@@ -48,7 +48,8 @@ class SyntheticBackend:
 
         if scene not in ("Table", "Cube"):
             raise NotImplementedError(
-                f"scene {scene!r} has no synthetic backend — install robosuite "
+                f"scene {scene!r} has no single-arm synthetic backend — use "
+                "make_synthetic_backend() (PegInHole) or install robosuite "
                 "(pip install 'pointcloud_tpu[sim]') to use this environment"
             )
         self._table_z = TABLE_Z
@@ -154,6 +155,102 @@ class SyntheticBackend:
 
     def close(self):
         pass
+
+
+class SyntheticPegBackend:
+    """Kinematic two-arm backend over SyntheticPegScene (PegInHole scene).
+
+    Actions follow the two-arm OSC_POSE convention of robosuite's
+    TwoArmPegInHole (reference robosuite_envs/envs.py:342-360): 12 dims =
+    [dpos0, drot0, dpos1, drot1] in [-1, 1], no grippers (the peg and hole
+    are rigidly attached to the eefs).
+    """
+
+    name = "synthetic"
+    ACTION_DIM = 12
+
+    def __init__(self, robo_kwargs: dict, scene: str = "PegInHole", seed: int = 0,
+                 horizon: int = 500):
+        from pointcloud_tpu.envs.synthetic import SyntheticPegScene
+
+        self.scene = "PegInHole"
+        self.sim = SyntheticPegScene(seed=seed)
+        self.horizon = horizon
+        self.timestep = 0
+        self.rng = np.random.default_rng(seed)
+
+    @property
+    def action_spec(self):
+        return (
+            -np.ones(self.ACTION_DIM, dtype=np.float32),
+            np.ones(self.ACTION_DIM, dtype=np.float32),
+        )
+
+    def reset(self) -> dict:
+        self.timestep = 0
+        self.sim.reset()
+        return self.observe()
+
+    def step(self, action) -> dict:
+        self.sim.step_arms(np.asarray(action, dtype=np.float32))
+        self.timestep += 1
+        return self.observe()
+
+    def observe(self, force_update: bool = False) -> dict:
+        return self.sim.state()
+
+    def observation_spec(self) -> dict:
+        return self.observe()
+
+    def snapshot(self):
+        return (
+            self.sim.peg_pos.copy(),
+            self.sim.peg_quat.copy(),
+            self.sim.hole_pos.copy(),
+            self.sim.hole_quat.copy(),
+        )
+
+    def restore(self, snap):
+        self.sim.set_arm(0, pos=snap[0], quat=snap[1])
+        self.sim.set_arm(1, pos=snap[2], quat=snap[3])
+
+    def forward(self):
+        pass
+
+    def set_object_pos(self, joint: str, pos):
+        raise KeyError(joint)  # no free objects: both bodies ride the arms
+
+    def clear_object(self, name: str):
+        pass
+
+    def capture_pointcloud(self, features=("rgb",)):
+        points, rgb, labels = self.sim.render_points()
+        out = {}
+        if "rgb" in features:
+            out["rgb"] = rgb
+        if "segmentation" in features:
+            out["segmentation"] = labels[:, None].astype(np.float32)
+        return points, out
+
+    def drive_eef_to(self, target, tolerance=0.01, max_steps=50):
+        self.sim.set_arm(0, pos=target)
+        return self.observe(), True
+
+    def solve_insertion(self):
+        """Expert goal producer: jump to the aligned-inserted configuration
+        (replaces the reference's pickled expert-rollout goal states)."""
+        return self.sim.solve()
+
+    def close(self):
+        pass
+
+
+def make_synthetic_backend(robo_kwargs: dict, scene: str, seed: int = 0,
+                           horizon: int = 500):
+    """Scene-appropriate synthetic backend (single-arm or two-arm)."""
+    if scene == "PegInHole":
+        return SyntheticPegBackend(robo_kwargs, scene, seed=seed, horizon=horizon)
+    return SyntheticBackend(robo_kwargs, scene, seed=seed, horizon=horizon)
 
 
 class RobosuiteBackend:

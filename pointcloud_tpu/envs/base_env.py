@@ -32,6 +32,8 @@ except Exception:  # pragma: no cover - gymnasium_robotics should be present
 from pointcloud_tpu.envs.backends import (
     RobosuiteBackend,
     SyntheticBackend,
+    SyntheticPegBackend,
+    make_synthetic_backend,
     robosuite_available,
 )
 from pointcloud_tpu.envs.encoders import (
@@ -153,11 +155,11 @@ class RobosuiteGoalEnv(GoalEnv):
                 camera_poses=self.poses,
                 camera_size=self.camera_size,
             )
-        return SyntheticBackend(robo_kwargs, scene=self.scene)
+        return make_synthetic_backend(robo_kwargs, scene=self.scene)
 
     def _make_goal_backend(self, robo_kwargs):
-        if isinstance(self.backend, SyntheticBackend):
-            return SyntheticBackend(robo_kwargs, scene=self.scene, seed=1)
+        if isinstance(self.backend, (SyntheticBackend, SyntheticPegBackend)):
+            return make_synthetic_backend(robo_kwargs, scene=self.scene, seed=1)
         import robosuite.controllers as rc
 
         abs_controller = rc.load_controller_config(

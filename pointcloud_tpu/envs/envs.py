@@ -181,8 +181,9 @@ class RoboPickAndPlace(_CubeTaskEnv):
 class RoboPegInHole(_TaskEnv):
     """Two-arm peg-in-hole; goal is a saved visual state (envs.py:342-427).
 
-    Per-dim success thresholds on (t, d, angle). Requires the robosuite
-    backend (the synthetic backend has no two-arm scene).
+    Per-dim success thresholds on (t, d, angle). Runs on robosuite's
+    TwoArmPegInHole when installed, or the kinematic two-arm
+    SyntheticPegBackend otherwise (backends.py).
     """
 
     task = "PegInHole"
@@ -214,7 +215,9 @@ class RoboPegInHole(_TaskEnv):
     @assert_correctness
     def desired_goal_state(self, state, rerender=False):
         """Load a pickled goal state saved from an expert rollout
-        (reference loads visual goal states from the input dir)."""
+        (reference loads visual goal states from the input dir); without
+        pickles, produce the goal from an expert kinematic solve on a
+        state snapshot (SyntheticPegBackend.solve_insertion)."""
         import glob
         import pickle
 
@@ -222,6 +225,15 @@ class RoboPegInHole(_TaskEnv):
         if files:
             with open(np.random.choice(files), "rb") as f:
                 return pickle.load(f)
+        if hasattr(self.backend, "solve_insertion"):
+            if rerender:
+                # full re-observation of the solved configuration (vision
+                # encoders need the rendered state, not just the GT keys)
+                return self.render_state(lambda b: b.solve_insertion())
+            snap = self.backend.snapshot()
+            desired_state = dict(state) | self.backend.solve_insertion()
+            self.backend.restore(snap)
+            return desired_state
         # fallback: desired (t, d, angle) = aligned-and-inserted
         desired_state = state.copy()
         desired_state["t"] = np.zeros_like(np.asarray(state.get("t", 0.0)))

@@ -228,6 +228,267 @@ class SyntheticScene:
         }
 
 
+########## Two-arm PegInHole scene ##########
+
+# Quaternions are (w, x, y, z) throughout (mujoco convention).
+
+
+def _quat_rotate(q, v):
+    """Rotate vector v by quaternion q."""
+    w, x, y, z = q
+    u = np.array([x, y, z], dtype=np.float32)
+    v = np.asarray(v, dtype=np.float32)
+    return 2.0 * (u @ v) * u + (w * w - u @ u) * v + 2.0 * w * np.cross(u, v)
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _quat_from_axis_angle(axis_angle):
+    """Small-rotation quaternion from an axis-angle vector."""
+    aa = np.asarray(axis_angle, dtype=np.float32)
+    theta = float(np.linalg.norm(aa))
+    if theta < 1e-8:
+        return np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    axis = aa / theta
+    return np.concatenate(
+        [[np.cos(theta / 2)], np.sin(theta / 2) * axis]
+    ).astype(np.float32)
+
+
+PEG_LENGTH = 0.12
+PEG_RADIUS = 0.015
+HOLE_PLATE = 0.16  # square plate side
+HOLE_RADIUS = 0.025
+PLATE_THICK = 0.02
+ARM0_BASE = np.array([-0.6, 0.0, 1.0], dtype=np.float32)
+ARM1_BASE = np.array([0.6, 0.0, 1.0], dtype=np.float32)
+# overlapping workspaces: the peg arm must be able to reach any hole pose
+# exactly (solve() centers the peg in the hole), so both boxes share the
+# central region; resets bias each arm to its own side via the sampling box
+PEG_RANGE = np.array([[-0.45, 0.45], [-0.4, 0.4], [0.8, 1.6]], dtype=np.float32)
+HOLE_RANGE = np.array([[-0.45, 0.45], [-0.4, 0.4], [0.8, 1.6]], dtype=np.float32)
+
+
+class SyntheticPegScene:
+    """Kinematic two-arm peg-in-hole scene (robosuite TwoArmPegInHole analog,
+    reference robosuite_envs/envs.py:342-427).
+
+    Arm 0 rigidly holds a peg (cylinder along its local +z); arm 1 holds a
+    square plate with a hole through it (hole axis = plate local +z). The
+    task-space observables match cfg_scene['PegInHole'].states:
+      peg_to_hole = hole_pos - peg_pos,
+      peg_quat / hole_quat (w, x, y, z),
+      t = component of peg_to_hole along the hole axis,
+      d = perpendicular distance of the peg center from the hole axis,
+      angle = 1 - |cos(peg axis, hole axis)|  (0 = axes aligned).
+    Success (per-dim thresholds [0.14, 0.06, 0.05], envs.py RoboPegInHole)
+    therefore means: centered within the plate, near the hole plane, and
+    aligned to within ~18 degrees.
+    """
+
+    def __init__(self, scene: str = "PegInHole", seed: int = 0, raw_points: int = 16384):
+        self.scene = scene
+        self.cfg = cfg_scene["PegInHole"]
+        self.rng = np.random.default_rng(seed)
+        self.raw_points = raw_points
+        self.reset()
+
+    # --- state ---
+
+    def reset(self):
+        self.peg_pos = self._random_in(PEG_RANGE)
+        self.hole_pos = self._random_in(HOLE_RANGE)
+        self.peg_quat = _quat_from_axis_angle(
+            self.rng.normal(0, 0.3, 3).astype(np.float32)
+        )
+        self.hole_quat = _quat_from_axis_angle(
+            self.rng.normal(0, 0.3, 3).astype(np.float32)
+        )
+        return self.state()
+
+    def _random_in(self, rng_box):
+        lo, hi = rng_box[:, 0], rng_box[:, 1]
+        return (lo + self.rng.random(3, dtype=np.float32) * (hi - lo)).astype(
+            np.float32
+        )
+
+    def randomize(self):
+        """Re-drop the hole plate pose (the non-agent half of the scene)."""
+        self.hole_pos = self._random_in(HOLE_RANGE)
+        self.hole_quat = _quat_from_axis_angle(
+            self.rng.normal(0, 0.3, 3).astype(np.float32)
+        )
+
+    def set_arm(self, arm: int, pos=None, quat=None):
+        if arm == 0:
+            if pos is not None:
+                self.peg_pos = np.clip(
+                    np.asarray(pos, np.float32), PEG_RANGE[:, 0], PEG_RANGE[:, 1]
+                )
+            if quat is not None:
+                self.peg_quat = np.asarray(quat, np.float32)
+        else:
+            if pos is not None:
+                self.hole_pos = np.clip(
+                    np.asarray(pos, np.float32), HOLE_RANGE[:, 0], HOLE_RANGE[:, 1]
+                )
+            if quat is not None:
+                self.hole_quat = np.asarray(quat, np.float32)
+
+    def step_arms(self, action, pos_scale: float = 0.05, rot_scale: float = 0.2):
+        """Two stacked OSC_POSE deltas: [dpos0, drot0, dpos1, drot1] in
+        [-1, 1]^12 (robosuite TwoArmPegInHole action convention)."""
+        a = np.asarray(action, dtype=np.float32)
+        self.set_arm(0, pos=self.peg_pos + a[0:3] * pos_scale)
+        self.peg_quat = _quat_mul(
+            _quat_from_axis_angle(a[3:6] * rot_scale), self.peg_quat
+        )
+        self.set_arm(1, pos=self.hole_pos + a[6:9] * pos_scale)
+        self.hole_quat = _quat_mul(
+            _quat_from_axis_angle(a[9:12] * rot_scale), self.hole_quat
+        )
+
+    def solve(self):
+        """Expert (kinematic) solution: align the peg with the hole axis and
+        center it in the hole plane — the goal-state producer that replaces
+        the reference's pickled expert-rollout goals."""
+        self.peg_quat = self.hole_quat.copy()
+        self.set_arm(0, pos=self.hole_pos)
+        return self.state()
+
+    def state(self) -> dict:
+        peg_axis = _quat_rotate(self.peg_quat, [0.0, 0.0, 1.0])
+        hole_axis = _quat_rotate(self.hole_quat, [0.0, 0.0, 1.0])
+        v = self.hole_pos - self.peg_pos
+        t = np.float32(v @ hole_axis)
+        d = np.float32(np.linalg.norm(v - t * hole_axis))
+        angle = np.float32(1.0 - abs(peg_axis @ hole_axis))
+        return {
+            "peg_to_hole": v.astype(np.float32),
+            "peg_quat": self.peg_quat.copy(),
+            "hole_pos": self.hole_pos.copy(),
+            "hole_quat": self.hole_quat.copy(),
+            "t": np.array([t], dtype=np.float32),
+            "d": np.array([d], dtype=np.float32),
+            "angle": np.array([angle], dtype=np.float32),
+        }
+
+    # --- rendering ---
+
+    def render_points(self, n: int | None = None):
+        """Labeled raw cloud with the PegInHole class layout
+        (classes: peg_hole / robot0 / base0 / env / robot1 / base1)."""
+        n = n or self.raw_points
+        rng = self.rng
+        counts = {
+            "peg_hole": int(n * 0.35),
+            "robot0": int(n * 0.25),
+            "robot1": int(n * 0.25),
+            "base0": int(n * 0.05),
+            "base1": int(n * 0.05),
+        }
+        counts["env"] = n - sum(counts.values())
+        classes = self.cfg["classes"]
+        parts, labels = [], []
+
+        def add(pts, cls):
+            parts.append(pts.astype(np.float32))
+            labels.append(np.full(len(pts), classes.index(cls), dtype=np.int32))
+
+        # peg cylinder + hole plate share the 'peg_hole' class
+        peg_axis = _quat_rotate(self.peg_quat, [0.0, 0.0, 1.0])
+        n_peg = counts["peg_hole"] // 2
+        add(
+            _cylinder(
+                rng,
+                n_peg,
+                self.peg_pos - peg_axis * PEG_LENGTH / 2,
+                self.peg_pos + peg_axis * PEG_LENGTH / 2,
+                PEG_RADIUS,
+            ),
+            "peg_hole",
+        )
+        # plate: uniform box points in the plate frame, hole cut out
+        n_plate = counts["peg_hole"] - n_peg
+        local = (rng.random((2 * n_plate, 3), dtype=np.float32) - 0.5) * np.array(
+            [HOLE_PLATE, HOLE_PLATE, PLATE_THICK], dtype=np.float32
+        )
+        keep = np.linalg.norm(local[:, :2], axis=1) > HOLE_RADIUS
+        local = local[keep][:n_plate]
+        world = (
+            np.stack([_quat_rotate(self.hole_quat, p) for p in local])
+            if len(local)
+            else np.zeros((0, 3), np.float32)
+        )
+        add(world + self.hole_pos, "peg_hole")
+
+        for arm, (base, tip, cls_arm, cls_base) in enumerate(
+            [
+                (ARM0_BASE, self.peg_pos, "robot0", "base0"),
+                (ARM1_BASE, self.hole_pos, "robot1", "base1"),
+            ]
+        ):
+            elbow = (base + tip) / 2 + np.array([0, 0, 0.25], np.float32)
+            k = counts[cls_arm]
+            add(
+                np.concatenate(
+                    [
+                        _cylinder(rng, k // 2, base, elbow, 0.05),
+                        _cylinder(rng, k - k // 2, elbow, tip, 0.04),
+                    ]
+                ),
+                cls_arm,
+            )
+            add(
+                _box(rng, counts[cls_base], base - [0, 0, 0.06], [0.06, 0.06, 0.06]),
+                cls_base,
+            )
+
+        add(_plane(rng, counts["env"], np.zeros(2, np.float32), 2.0, 0.5), "env")
+
+        points = np.concatenate(parts).astype(np.float32)
+        labels = np.concatenate(labels)
+        colors = np.asarray(self.cfg["class_colors"], dtype=np.float32)
+        rgb = np.clip(
+            colors[labels] + rng.normal(0, 0.02, (len(labels), 3)).astype(np.float32),
+            0.0,
+            1.0,
+        )
+        perm = rng.permutation(len(points))
+        return points[perm], rgb[perm], labels[perm]
+
+    def observe(self, sample_points: int | None = None, sampler: str | None = None):
+        """Sensor-style observation dict (same contract as SyntheticScene)."""
+        import jax
+
+        K = sample_points or self.cfg["sample_points"]
+        sampler = sampler or self.cfg["sampler"]
+        points, rgb, labels = self.render_points()
+        pc = np.concatenate([points, rgb, labels[:, None].astype(np.float32)], axis=1)
+        bbox_key = tuple(tuple(float(v) for v in row) for row in self.cfg["bbox"])
+        chain = _jitted_sensor_chain(bbox_key, K, sampler)
+        key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
+        out = np.asarray(chain(pc, key))
+        return {
+            "points": out[:, :3],
+            "rgb": out[:, 3:6],
+            "segmentation": out[:, 6:7].astype(np.int64),
+            "boundingbox": np.asarray(self.cfg["bbox"], dtype=np.float32),
+        }
+
+
 def generate_dataset(
     out_dir: str,
     scene: str = "Cube",
@@ -243,14 +504,23 @@ def generate_dataset(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    sim = SyntheticScene(scene=scene, seed=seed)
+    if scene == "PegInHole":
+        sim = SyntheticPegScene(seed=seed)
+    else:
+        sim = SyntheticScene(scene=scene, seed=seed)
     gt_states = [s for s in sim.cfg["states"] if s]
     classes = np.array(
         list(zip(sim.cfg["classes"], sim.cfg["class_colors"])), dtype=object
     )
     for i in range(frames):
         sim.randomize()
-        sim.set_eef(sim._random_eef())
+        if isinstance(sim, SyntheticPegScene):
+            sim.set_arm(0, pos=sim._random_in(PEG_RANGE))
+            sim.peg_quat = _quat_from_axis_angle(
+                sim.rng.normal(0, 0.3, 3).astype(np.float32)
+            )
+        else:
+            sim.set_eef(sim._random_eef())
         obs = sim.observe(sample_points=sample_points)
         state = sim.state()
         ground_truth = np.array([(s, state[s]) for s in gt_states], dtype=object)

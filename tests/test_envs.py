@@ -172,11 +172,100 @@ def test_time_limit_truncates():
     env.close()
 
 
-def test_peginhole_without_robosuite_raises_clearly():
-    """PegInHole has no synthetic backend; the error must say why."""
-    from pointcloud_tpu.envs.backends import robosuite_available
+@pytest.fixture
+def peg_env():
+    env = gym.make("RoboPegInHole-v0")
+    yield env
+    env.close()
 
-    if robosuite_available():
-        pytest.skip("robosuite installed")
-    with pytest.raises(Exception, match="robosuite"):
-        gym.make("RoboPegInHole-v0").reset()
+
+def test_peginhole_reset_step_api(peg_env):
+    obs, info = peg_env.reset(seed=0)
+    assert set(obs) == {"observation", "achieved_goal", "desired_goal"}
+    # obs: peg_to_hole(3) + peg_quat(4) + hole_pos(3) + hole_quat(4)
+    assert obs["observation"].shape == (14,)
+    # goal: (t, d, angle)
+    assert obs["achieved_goal"].shape == (3,)
+    assert peg_env.action_space.shape == (12,)  # two-arm OSC_POSE, no grippers
+    obs2, reward, terminated, truncated, info2 = peg_env.step(
+        peg_env.action_space.sample()
+    )
+    assert reward in (-1, 0)
+    assert terminated is False
+
+
+def test_peginhole_goal_is_expert_insertion(peg_env):
+    """The goal producer is the expert kinematic solve: t = d = angle = 0."""
+    obs, _ = peg_env.reset(seed=1)
+    np.testing.assert_allclose(obs["desired_goal"], 0.0, atol=1e-5)
+    # and a random reset is not pre-achieved
+    assert not peg_env.unwrapped.is_episode_success
+
+
+def test_peginhole_perdim_success_thresholds(peg_env):
+    env = peg_env.unwrapped
+    env.reset(seed=2)
+    desired = np.zeros(3, np.float32)
+    ok = np.array([0.13, 0.05, 0.04], np.float32)  # all within [0.14,0.06,0.05]
+    bad = np.array([0.13, 0.07, 0.04], np.float32)  # d exceeds its threshold
+    assert env.check_success(ok, desired, {}, force_gt=True)
+    assert not env.check_success(bad, desired, {}, force_gt=True)
+    # batched variant
+    got = env.check_success(np.stack([ok, bad]), np.stack([desired] * 2), {},
+                            force_gt=True)
+    assert list(got) == [True, False]
+
+
+def test_peginhole_success_by_driving(peg_env):
+    """Drive arm 0 at the hole (position via peg_to_hole, orientation via the
+    axis-cross controller) until the per-dim thresholds are met."""
+    from pointcloud_tpu.envs.synthetic import _quat_rotate
+
+    env = peg_env.unwrapped
+    obs, _ = env.reset(seed=3)
+    info = {"is_success": False}
+    reward = -1
+    for _ in range(150):
+        st = env.backend.observe()
+        pa = _quat_rotate(st["peg_quat"], [0.0, 0.0, 1.0])
+        ha = _quat_rotate(st["hole_quat"], [0.0, 0.0, 1.0])
+        if pa @ ha < 0:
+            ha = -ha  # the nearer of the two aligned directions
+        a = np.zeros(12, dtype=np.float32)
+        a[0:3] = np.clip(st["peg_to_hole"] / 0.05, -1, 1)
+        a[3:6] = np.clip(np.cross(pa, ha) / 0.2 * 2.0, -1, 1)
+        obs, reward, term, trunc, info = env.step(a)
+        if info["is_success"]:
+            break
+    assert info["is_success"]
+    assert reward == 0
+
+
+def test_peginhole_randomize_and_restore(peg_env):
+    """snapshot/restore roundtrip + desired_goal_state leaves the live
+    backend state untouched (the expert solve runs on a snapshot)."""
+    env = peg_env.unwrapped
+    env.reset(seed=4)
+    before = env.backend.observe()
+    _ = env.desired_goal_state(before)
+    after = env.backend.observe()
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k])
+
+
+def test_peginhole_synthetic_dataset_generation(tmp_path):
+    """generate_dataset supports the PegInHole scene: npz contract + all 7
+    ground-truth states present."""
+    from pointcloud_tpu.envs.synthetic import generate_dataset
+
+    out = generate_dataset(str(tmp_path / "peg"), scene="PegInHole", frames=2,
+                           sample_points=256)
+    import glob
+
+    files = sorted(glob.glob(out + "/*.npz"))
+    assert len(files) == 2
+    data = np.load(files[0], allow_pickle=True)
+    assert data["points"].shape == (256, 3)
+    gt = dict((k, v) for k, v in data["ground_truth"])
+    assert set(gt) == {"peg_to_hole", "peg_quat", "hole_pos", "hole_quat",
+                       "t", "d", "angle"}
