@@ -278,6 +278,12 @@ class RobosuiteBackend:
         self.cameras = list(cameras)
         self.camera_size = camera_size
         robo_kwargs = dict(robo_kwargs)
+        # robosuite only renders per-camera obs for cameras named at make()
+        # time (reference base_env.py:52-54)
+        if self.cameras:
+            robo_kwargs.setdefault("camera_names", list(self.cameras))
+            robo_kwargs.setdefault("camera_widths", self.camera_size[0])
+            robo_kwargs.setdefault("camera_heights", self.camera_size[1])
         controller = robo_kwargs.pop("controller", None)
         if controller and "controller_configs" not in robo_kwargs:
             from robosuite.controllers import load_controller_config

@@ -74,13 +74,80 @@ def _load_pkl(path: str):
     return TQC.load(path)
 
 
+class Sb3TqcPolicy:
+    """Deterministic actor of an sb3_contrib/rl_zoo3 TQC zip, loaded
+    WITHOUT stable-baselines3 installed.
+
+    sb3 saves a zip containing `policy.pth` (a torch state_dict). The TQC
+    MultiInputPolicy actor is: CombinedExtractor (flatten + concat of the
+    dict observation in sorted-key order, the gym.spaces.Dict convention) ->
+    `actor.latent_pi` (Linear/ReLU stack) -> `actor.mu` -> tanh squash.
+    Deterministic predict() is exactly that forward pass, reproduced in
+    numpy from the state_dict tensors (reference artifacts:
+    /root/reference/rl/export_policy.py:11-26, readme.md:79-94).
+    """
+
+    def __init__(self, hidden, mu, act_limit: float = 1.0):
+        self.hidden = hidden  # [(W, b), ...] of actor.latent_pi
+        self.mu = mu  # (W, b) of actor.mu
+        self.act_limit = act_limit
+
+    @classmethod
+    def load(cls, path: str, act_limit: float = 1.0):
+        import io
+        import zipfile
+
+        import torch
+
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            if "policy.pth" not in names:
+                raise ValueError(
+                    f"{path} is not an sb3 save (no policy.pth; has {names})"
+                )
+            sd = torch.load(
+                io.BytesIO(z.read("policy.pth")), map_location="cpu"
+            )
+        if hasattr(sd, "state_dict"):  # a full module was saved
+            sd = sd.state_dict()
+        hidden = []
+        i = 0
+        while f"actor.latent_pi.{i}.weight" in sd:
+            hidden.append(
+                (
+                    sd[f"actor.latent_pi.{i}.weight"].numpy(),
+                    sd[f"actor.latent_pi.{i}.bias"].numpy(),
+                )
+            )
+            i += 2  # Linear layers interleaved with activations
+        if not hidden or "actor.mu.weight" not in sd:
+            raise ValueError(
+                f"{path}: no TQC actor tensors found (keys: {sorted(sd)[:8]}...)"
+            )
+        mu = (sd["actor.mu.weight"].numpy(), sd["actor.mu.bias"].numpy())
+        return cls(hidden, mu, act_limit)
+
+    def predict(self, obs_dict, deterministic: bool = True, state=None, **kw):
+        x = np.concatenate(
+            [np.asarray(obs_dict[k], dtype=np.float32).reshape(-1)
+             for k in sorted(obs_dict)]
+        )
+        for W, b in self.hidden:
+            x = np.maximum(W @ x + b, 0.0)
+        a = np.tanh(self.mu[0] @ x + self.mu[1])
+        return (a * self.act_limit).astype(np.float32), state
+
+
 def load_policy(path: str):
     if path.endswith(".pkl"):
         return _load_pkl(path)
     if path.endswith(".zip"):
-        from sb3_contrib.tqc.policies import MultiInputPolicy
+        try:
+            from sb3_contrib.tqc.policies import MultiInputPolicy
 
-        return MultiInputPolicy.load(path)
+            return MultiInputPolicy.load(path)
+        except ImportError:
+            return Sb3TqcPolicy.load(path)
     if path.endswith(".pth"):
         import torch
 
