@@ -19,8 +19,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pointcloud_tpu.models.pointnet import check_train_mask_contract
 from pointcloud_tpu.ops.fps import farthest_point_sample
-from pointcloud_tpu.ops.geometry import index_points, knn
+from pointcloud_tpu.ops.geometry import group_neighbors, index_points
 
 Array = jax.Array
 
@@ -82,9 +83,9 @@ class LocalGrouper(nn.Module):
         fps_idx = farthest_point_sample(xyz, self.groups, mask=mask)
         new_xyz = index_points(xyz, fps_idx)  # (B, G, 3)
         new_feats = index_points(feats, fps_idx)  # (B, G, D)
-        idx, _ = knn(self.kneighbors, xyz, new_xyz, mask=mask)
-        grouped_xyz = index_points(xyz, idx)  # (B, G, K, 3)
-        grouped = index_points(feats, idx)  # (B, G, K, D)
+        grouped_xyz, grouped, _, _ = group_neighbors(
+            xyz, feats, new_xyz, self.kneighbors, radius=None, mask=mask
+        )  # (B, G, K, 3), (B, G, K, D); fused dist+kNN+gather on TPU
         if self.use_xyz:
             grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
 
@@ -195,6 +196,7 @@ class PointMLPModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
+        check_train_mask_contract(train, mask)
         xyz = x[..., :3]
         feats = DenseBNAct(self.embed_dim, self.use_bias, self.dtype)(
             xyz, train=train

@@ -22,6 +22,32 @@ Array = jax.Array
 _NEG = -1e9
 
 
+def check_train_mask_contract(train: bool, mask: Array | None) -> None:
+    """Document + debug-check the BatchNorm/mask contract.
+
+    BatchNorm batch statistics do NOT respect validity masks: in train mode
+    every point (masked or not) contributes to the mean/variance. That is
+    correct for the supported training pipeline — samplers re-densify clouds
+    before they reach a model, and the train harness never passes masks —
+    but silently wrong for a hypothetical masked training pipeline, so under
+    cfg.debug a training-mode forward with a mask warns loudly.
+    (Max-pools and grouping DO respect masks; only BN stats don't.)
+    """
+    if train and mask is not None:
+        from pointcloud_tpu import cfg
+
+        if cfg.debug:
+            import warnings
+
+            warnings.warn(
+                "training-mode forward with a validity mask: BatchNorm "
+                "statistics will include masked-out points (documented "
+                "model contract — re-densify with a sampler before "
+                "training instead)",
+                stacklevel=3,
+            )
+
+
 def masked_max(x: Array, mask: Array | None, axis: int) -> Array:
     """Global max-pool that ignores masked-out points."""
     if mask is not None:
@@ -114,6 +140,7 @@ class PointNetEncoder(nn.Module):
         return x
 
     def __call__(self, x, train: bool = False, mask: Array | None = None):
+        check_train_mask_contract(train, mask)
         x = self._point_features(x, train, mask)
         x = self.mlp1(x, train=train)
         x = self.mlp2(x, train=train)

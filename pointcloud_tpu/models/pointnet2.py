@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pointcloud_tpu.models.pointnet import check_train_mask_contract
 from pointcloud_tpu.ops.geometry import sample_and_group, sample_and_group_all
 
 Array = jax.Array
@@ -43,6 +44,10 @@ class SetAbstraction(nn.Module):
         train: bool = False,
         mask: Array | None = None,
     ):
+        if self.dtype is not None and features is not None:
+            # bf16 features ride the fused grouping kernel's fast MXU path
+            # (the first Dense would cast them anyway)
+            features = features.astype(self.dtype)
         if self.group_all:
             new_xyz, grouped, gmask, new_mask = sample_and_group_all(
                 xyz, features, mask=mask
@@ -83,7 +88,7 @@ class SetAbstractionMsg(nn.Module):
         mask: Array | None = None,
     ):
         from pointcloud_tpu.ops.fps import farthest_point_sample
-        from pointcloud_tpu.ops.geometry import ball_query, index_points
+        from pointcloud_tpu.ops.geometry import group_neighbors, index_points
 
         fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
         new_xyz = index_points(xyz, fps_idx)
@@ -93,16 +98,18 @@ class SetAbstractionMsg(nn.Module):
             else jnp.ones(fps_idx.shape, dtype=bool)
         )
 
+        if self.dtype is not None and features is not None:
+            features = features.astype(self.dtype)
         branch_feats = []
         for radius, nsample, mlp in zip(
             self.radius_list, self.nsample_list, self.mlp_list
         ):
-            idx, in_ball = ball_query(radius, nsample, xyz, new_xyz, mask=mask)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped = jnp.concatenate(
-                    [index_points(features, idx), grouped_xyz], axis=-1
-                )
+            gxyz, gfeat, _, in_ball = group_neighbors(
+                xyz, features, new_xyz, nsample, radius=radius, mask=mask
+            )
+            grouped_xyz = gxyz - new_xyz[:, :, None, :]
+            if gfeat is not None:
+                grouped = jnp.concatenate([gfeat, grouped_xyz], axis=-1)
             else:
                 grouped = grouped_xyz
             h = grouped
@@ -134,6 +141,7 @@ class PointNet2Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
+        check_train_mask_contract(train, mask)
         xyz = x[..., : self.space_dims]
         feats = x[..., self.space_dims :] if self.feature_dims > 0 else None
 

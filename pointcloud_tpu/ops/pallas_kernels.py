@@ -348,6 +348,280 @@ def nearest_neighbor_pallas(
     return minx[..., 0], aminx[..., 0], miny[:, 0, :], aminy[:, 0, :]
 
 
+############################ fused neighborhood grouping ############################
+
+
+def _group_kernel(
+    xyz_ref, cents_ref, p_ref, pen_ref, gx_ref, gf_ref, idx_ref, valid_ref,
+    d_ref, g0_ref, idx0_ref, *, k, radius, split_xyz, n, s_tile,
+):
+    """Fused ball-query/kNN + gather for one (batch, centroid-tile) program.
+
+    Layout rule: centroids live on LANES everywhere — distances are
+    (N, S_t), reductions run over sublanes, gathers are (C, N) @ (N, S_t)
+    MXU dots, and every output block is (k, C|1, S_t) — so no array in the
+    pipeline lane-pads a small trailing dim to 128 (which is what blew the
+    scoped-VMEM budget in the row-major formulation).
+
+    The (N, S_t) squared-distance tile is built once in VMEM (direct fp32
+    VPU expansion — exact, no approx_max_k) and the k nearest neighbors are
+    extracted by iterative min + masked argmin (deterministic lowest-index
+    tie-break, the top_k convention). Each extraction gathers the selected
+    points' channels with ONE MXU dot against the one-hot selection column;
+    bf16 features are still selected exactly (one-hot rows), and fp32 xyz
+    precision survives as split-bf16 hi/lo channels recombined here.
+
+    Replaces the XLA chain pairwise_sqdist -> top_k -> take_along_axis x2
+    (reference hot loop pointnet2_utils.py:93-144), which at B=64 spent
+    ~44 ms/step materializing (B, S, N) in HBM + gathering (benchmarks/
+    sa_profile.py); radius=None gives kNN semantics (pointmlp.py:106-124).
+
+    Slots past the in-radius count replicate slot 0 (the nearest point) and
+    report valid=0, matching ops.geometry.ball_query's pad-with-first.
+    """
+    BIG = jnp.float32(1e9)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (n, s_tile), 0)
+
+    acc = pen_ref[:, :]  # (N, 1) mask penalty, broadcasts over lanes
+    for c in range(3):
+        diff = xyz_ref[:, c : c + 1] - cents_ref[c : c + 1, :]  # (N, S_t)
+        acc = acc + diff * diff
+    if radius is not None:
+        acc = jnp.where(acc <= jnp.float32(radius * radius), acc, BIG)
+    d_ref[:, :] = acc
+
+    # fori_loop (not python unroll): Mosaic gives every unrolled iteration
+    # its own stack slots, which at k tiles of (N, S_t) temporaries blows
+    # the ~13 MB scoped-VMEM budget; the loop body keeps exactly one
+    # iteration's temporaries live.
+    def slot(j, _):
+        d = d_ref[:, :]
+        m = jnp.min(d, axis=0, keepdims=True)  # (1, S_t)
+        amin = jnp.min(
+            jnp.where(d == m, rowid, n), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        sel = rowid == amin
+        d_ref[:, :] = jnp.where(sel, BIG, d)
+        gat = jax.lax.dot_general(
+            p_ref[:, :],
+            sel.astype(p_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # Mosaic lowers fp32 dots through bf16 passes unless HIGHEST is
+            # requested; the bf16 path instead keeps default speed and gets
+            # fp32 xyz accuracy from the split hi/lo channels
+            precision=(None if p_ref.dtype == jnp.bfloat16
+                       else jax.lax.Precision.HIGHEST),
+        )  # (Cp, S_t) fp32
+        if split_xyz:
+            gx = gat[0:3, :] + gat[3:6, :]
+            gf = gat[6:, :]
+        else:
+            gx = gat[0:3, :]
+            gf = gat[3:, :]
+        vb = m < jnp.float32(0.5) * BIG  # (1, S_t)
+
+        @pl.when(j == 0)
+        def _():
+            g0_ref[:, :] = jnp.concatenate([gx, gf], axis=0)
+            idx0_ref[:, :] = amin
+
+        # at j == 0 the scratch now holds this slot's values, so the pad
+        # select below is the identity there (slot 0 is always emitted)
+        gx_ref[pl.ds(j, 1)] = jnp.where(vb, gx, g0_ref[0:3, :])[None]
+        gf_ref[pl.ds(j, 1)] = jnp.where(vb, gf, g0_ref[3:, :])[None].astype(
+            gf_ref.dtype
+        )
+        idx_ref[pl.ds(j, 1)] = jnp.where(vb, amin, idx0_ref[:, :])[None]
+        valid_ref[pl.ds(j, 1)] = vb.astype(jnp.float32)[None]
+        return 0
+
+    jax.lax.fori_loop(0, k, slot, 0)
+
+
+def _group_gather_call(xyz, cents_t, p_t, pen, *, k, radius, split_xyz,
+                       s_tile, interpret):
+    B, N, _ = xyz.shape
+    S = cents_t.shape[-1]
+    Cp = p_t.shape[1]
+    n_feat = Cp - 6 if split_xyz else Cp - 3
+    kernel = functools.partial(
+        _group_kernel, k=k, radius=radius, split_xyz=split_xyz,
+        n=N, s_tile=s_tile,
+    )
+    vmem = (
+        8 * N * s_tile * 4  # distance tile + per-slot temporaries
+        + 2 * N * (Cp + 4) * p_t.dtype.itemsize
+        + 2 * k * s_tile * (3 * 4 + n_feat * p_t.dtype.itemsize + 8)
+        + (4 << 20)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // s_tile),
+        in_specs=[
+            pl.BlockSpec((None, N, 3), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, 3, s_tile), lambda b, s: (b, 0, s)),
+            pl.BlockSpec((None, Cp, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, N, 1), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, k, 3, s_tile), lambda b, s: (b, 0, 0, s)),
+            pl.BlockSpec((None, k, n_feat, s_tile), lambda b, s: (b, 0, 0, s)),
+            pl.BlockSpec((None, k, 1, s_tile), lambda b, s: (b, 0, 0, s)),
+            pl.BlockSpec((None, k, 1, s_tile), lambda b, s: (b, 0, 0, s)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k, 3, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, n_feat, S), p_t.dtype),
+            jax.ShapeDtypeStruct((B, k, 1, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, 1, S), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, s_tile), jnp.float32),
+            pltpu.VMEM((3 + n_feat, s_tile), jnp.float32),
+            pltpu.VMEM((1, s_tile), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 << 20)
+        ),
+        interpret=interpret,
+    )(xyz, cents_t, p_t, pen)
+
+
+def _scatter_kernel(g_ref, idxt_ref, out_ref, *, n, r_tile):
+    """Segment-sum of g rows onto their idx targets: the grouping VJP.
+
+    out[n] = sum_r [idx[r] == n] * g[r], computed as R-row tiles of a
+    transposed one-hot (N, R) @ g (R, C) MXU matmul — no scatter, no
+    atomics (a deterministic replacement for the reference's atomicAdd
+    backward pattern, emd_cuda.cu:284-316). The row tiles live on the GRID
+    (same out block revisited) so only one one-hot is in VMEM at a time.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((n, out_ref.shape[1]), jnp.float32)
+
+    ids = idxt_ref[:, :]  # (1, R)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, r_tile), 0) == ids
+    ).astype(g_ref.dtype)
+    out_ref[:, :] += jax.lax.dot_general(
+        oh,
+        g_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # fp32 cotangents (debug/parity mode) must not round through bf16
+        # MXU passes; bf16 cotangents keep the fast default
+        precision=(None if g_ref.dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def scatter_rows_pallas(g: jax.Array, idx: jax.Array, n: int,
+                        interpret: bool = False) -> jax.Array:
+    """g (B, R, C), idx (B, R) int32 -> (B, n, C) fp32 with out[b, idx[b,r]]
+    += g[b,r] (deterministic segment-sum via one-hot MXU matmuls)."""
+    B, rows, C = g.shape
+    idxt = idx.reshape(B, 1, rows).astype(jnp.int32)
+    r_tile = 512
+    while rows % r_tile:
+        r_tile //= 2
+    kernel = functools.partial(_scatter_kernel, n=n, r_tile=r_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, rows // r_tile),
+        in_specs=[
+            pl.BlockSpec((None, r_tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((None, 1, r_tile), lambda b, t: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((None, n, C), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                4 * n * r_tile
+                + 4 * r_tile * max(C, 128)
+                + 8 * n * max(C, 128)
+                + (4 << 20),
+                120 << 20,
+            )
+        ),
+        interpret=interpret,
+    )(g, idxt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def grouped_gather(xyz, feats, new_xyz, pen, k, radius, interpret):
+    """Fused neighborhood grouping with gradient flow to xyz/feats values.
+
+    xyz (B, N, 3) fp32, feats (B, N, F), new_xyz (B, S, 3), pen (B, N, 1)
+    fp32 (+BIG on masked points). Static: k, radius (None = kNN),
+    interpret. Returns (centroids-on-lanes kernel layout):
+      gxyz (B, k, 3, S) fp32 — neighbor coordinates,
+      gfeat (B, k, F, S) feats.dtype — neighbor features,
+      idx (B, k, S) int32, valid (B, k, S) fp32 in {0, 1}.
+
+    Differentiation contract (matches XLA top_k+gather autodiff): the
+    neighbor SELECTION is non-differentiable; gradients flow through the
+    gathered VALUES back to xyz/feats rows (deterministic segment-sum VJP),
+    and new_xyz/pen get zeros.
+    """
+    out, _ = _grouped_gather_fwd(xyz, feats, new_xyz, pen, k, radius, interpret)
+    return out
+
+
+def _grouped_gather_fwd(xyz, feats, new_xyz, pen, k, radius, interpret):
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    cents_t = jnp.swapaxes(new_xyz[..., :3].astype(jnp.float32), 1, 2)
+    if feats.dtype == jnp.bfloat16:
+        # MXU path: exact one-hot selection of bf16 features; xyz precision
+        # survives as split-bf16 hi/lo channels recombined in-kernel
+        hi, lo = _split_bf16(xyz)
+        p = jnp.concatenate([hi, lo, feats], axis=-1)
+        split = True
+    else:
+        p = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+        split = False
+    p_t = jnp.swapaxes(p, 1, 2)  # (B, Cp, N)
+    # centroid tile: ~8 (N, s_tile) fp32 temporaries must fit scoped VMEM
+    s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))
+    s_tile = 1 << (s_tile.bit_length() - 1)  # round down to a power of 2
+    while S % s_tile:
+        s_tile //= 2
+    gx, gf, idx, valid = _group_gather_call(
+        xyz, cents_t, p_t, pen.astype(jnp.float32),
+        k=k, radius=radius, split_xyz=split, s_tile=s_tile,
+        interpret=interpret,
+    )
+    out = (gx, gf, idx[:, :, 0, :], valid[:, :, 0, :])
+    # residuals: idx + zero-size views carrying the input shapes/dtypes
+    return out, (idx[:, :, 0, :], xyz[:, :, :0], feats[:, :, :0],
+                 new_xyz[:, :0], pen[:, :0])
+
+
+def _grouped_gather_bwd(k, radius, interpret, res, cots):
+    idx, xyz0, feats0, nx0, pen0 = res
+    N = xyz0.shape[1]
+    g_gx, g_gf = cots[0], cots[1]  # (B,k,3,S) f32, (B,k,F,S); idx/valid non-diff
+    B, _, _, S = g_gx.shape
+    g = jnp.concatenate([g_gx, g_gf.astype(jnp.float32)], axis=2)
+    g = g.transpose(0, 1, 3, 2).reshape(B, k * S, -1)  # (B, kS, 3+F)
+    if feats0.dtype == jnp.bfloat16:
+        g = g.astype(jnp.bfloat16)  # grads are activation-precision anyway
+    scat = scatter_rows_pallas(g, idx.reshape(B, -1), N, interpret=interpret)
+    d_xyz = scat[..., :3].astype(xyz0.dtype)
+    d_feats = scat[..., 3:].astype(feats0.dtype)
+    d_new_xyz = jnp.zeros((B, S, nx0.shape[-1]), nx0.dtype)
+    return d_xyz, d_feats, d_new_xyz, jnp.zeros((B, N, 1), jnp.float32)
+
+
+grouped_gather.defvjp(_grouped_gather_fwd, _grouped_gather_bwd)
+
+
 ############################ FPS ############################
 
 

@@ -200,3 +200,26 @@ def test_pointnet_forward_all_features_shares_weights(cloud):
     t1 = jax.tree_util.tree_structure(variables["params"])
     t2 = jax.tree_util.tree_structure(variables2["params"])
     assert t1 == t2
+
+
+def test_bn_mask_contract_warns_in_debug(cloud):
+    """Training-mode forward with a mask warns under cfg.debug: BatchNorm
+    stats ignore masks (documented contract, VERDICT r1 weak #7)."""
+    import warnings
+
+    from pointcloud_tpu import cfg
+
+    model = PointNetEncoder()
+    mask = jnp.ones(cloud.shape[:2], bool)
+    old = cfg.debug
+    cfg.debug = True
+    try:
+        with pytest.warns(UserWarning, match="BatchNorm"):
+            model.init(jax.random.PRNGKey(0), cloud, train=True, mask=mask)
+    finally:
+        cfg.debug = old
+    # no mask, or eval mode: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        model.init(jax.random.PRNGKey(0), cloud, train=True)
+        model.init(jax.random.PRNGKey(0), cloud, train=False, mask=mask)

@@ -144,6 +144,161 @@ def test_fps_auto_dispatch_cpu_uses_xla(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def _exact_sqdist(a, b):
+    return ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+
+
+def test_group_neighbors_pallas_ball_matches_xla(rng):
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 128, 5), dtype=np.float32))
+    cents = jnp.asarray(rng.random((2, 16, 3), dtype=np.float32))
+    gx, gf, idx, valid = group_neighbors(
+        xyz, feats, cents, 8, radius=0.3, impl="pallas", interpret=True
+    )
+    rx, rf, ridx, rvalid = group_neighbors(
+        xyz, feats, cents, 8, radius=0.3, impl="xla", approx=False
+    )
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(rvalid))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
+
+
+def test_group_neighbors_pallas_knn_matches_xla(rng):
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 96, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((1, 96, 4), dtype=np.float32))
+    cents = xyz[:, ::8, :]
+    gx, gf, idx, valid = group_neighbors(
+        xyz, feats, cents, 6, radius=None, impl="pallas", interpret=True
+    )
+    _, _, ridx, _ = group_neighbors(
+        xyz, feats, cents, 6, radius=None, impl="xla", approx=False
+    )
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    # each query's own point is its nearest neighbor
+    np.testing.assert_array_equal(
+        np.asarray(idx)[0, :, 0], np.arange(0, 96, 8)
+    )
+
+
+def test_group_neighbors_pallas_bf16_features(rng):
+    """bf16 feats take the split-xyz MXU path: feats selected exactly,
+    xyz gathered to split-bf16 accuracy (~1e-4 abs for unit clouds)."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    feats = jnp.asarray(
+        rng.random((1, 64, 4), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    cents = jnp.asarray(rng.random((1, 8, 3), dtype=np.float32))
+    gx, gf, idx, _ = group_neighbors(
+        xyz, feats, cents, 4, radius=None, impl="pallas", interpret=True
+    )
+    assert gf.dtype == jnp.bfloat16
+    xn, fn, idxn = np.asarray(xyz), np.asarray(feats), np.asarray(idx)
+    np.testing.assert_allclose(
+        np.asarray(gx), xn[np.zeros_like(idxn), idxn], atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gf.astype(jnp.float32)),
+        fn[np.zeros_like(idxn), idxn].astype(np.float32),
+    )
+
+
+def test_group_neighbors_pallas_mask(rng):
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((1, 64, 2), dtype=np.float32))
+    cents = jnp.asarray(rng.random((1, 8, 3), dtype=np.float32))
+    mask = np.ones((1, 64), bool)
+    mask[0, ::2] = False
+    _, _, idx, valid = group_neighbors(
+        xyz, feats, cents, 4, radius=1.0, mask=jnp.asarray(mask),
+        impl="pallas", interpret=True,
+    )
+    sel = np.asarray(idx)[np.asarray(valid)]
+    assert (sel % 2 == 1).all()
+
+
+def test_group_neighbors_pallas_pad_with_nearest(rng):
+    """Slots beyond the in-radius count replicate slot 0 with valid=False
+    (reference pad-with-group_first, pointnet2_utils.py:108-112)."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    # one point within radius of each centroid
+    cents = jnp.asarray(rng.random((1, 4, 3), dtype=np.float32))
+    far = jnp.asarray(10.0 + rng.random((1, 60, 3), dtype=np.float32))
+    xyz = jnp.concatenate([cents + 0.01, far], axis=1)
+    feats = jnp.asarray(rng.random((1, 64, 2), dtype=np.float32))
+    _, _, idx, valid = group_neighbors(
+        xyz, feats, cents, 4, radius=0.1, impl="pallas", interpret=True
+    )
+    v = np.asarray(valid)
+    assert v[..., 0].all() and not v[..., 1:].any()
+    np.testing.assert_array_equal(
+        np.asarray(idx), np.broadcast_to(np.arange(4)[None, :, None], (1, 4, 4))
+    )
+
+
+def test_group_neighbors_pallas_multitile(rng):
+    """S larger than one 256-row centroid tile exercises the grid."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((1, 64, 2), dtype=np.float32))
+    cents = jnp.asarray(rng.random((1, 512, 3), dtype=np.float32))
+    _, _, idx, _ = group_neighbors(
+        xyz, feats, cents, 4, radius=None, impl="pallas", interpret=True
+    )
+    _, _, ridx, _ = group_neighbors(
+        xyz, feats, cents, 4, radius=None, impl="xla", approx=False
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+
+
+def test_group_neighbors_pallas_grad_matches_xla(rng):
+    """Custom VJP (one-hot MXU segment-sum) == XLA gather autodiff."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((2, 48, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 48, 4), dtype=np.float32))
+    cents = jnp.asarray(rng.random((2, 8, 3), dtype=np.float32))
+    wx = jnp.asarray(rng.random((2, 8, 4, 3), dtype=np.float32))
+    wf = jnp.asarray(rng.random((2, 8, 4, 4), dtype=np.float32))
+
+    def loss(f, x, impl):
+        gx, gf, _, _ = group_neighbors(
+            x, f, cents, 4, radius=0.5, impl=impl,
+            interpret=(impl == "pallas"),
+            **({} if impl == "pallas" else {"approx": False}),
+        )
+        return jnp.sum(gx * wx) + jnp.sum(gf * wf)
+
+    gf_p, gx_p = jax.grad(loss, argnums=(0, 1))(feats, xyz, "pallas")
+    gf_x, gx_x = jax.grad(loss, argnums=(0, 1))(feats, xyz, "xla")
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), atol=1e-5)
+
+
+def test_scatter_rows_pallas(rng):
+    from pointcloud_tpu.ops.pallas_kernels import scatter_rows_pallas
+
+    g = jnp.asarray(rng.random((2, 32, 5), dtype=np.float32))
+    idx = jnp.asarray(rng.integers(0, 16, (2, 32)), dtype=jnp.int32)
+    out = np.asarray(scatter_rows_pallas(g, idx, 16, interpret=True))
+    want = np.zeros((2, 16, 5), np.float32)
+    for b in range(2):
+        for r in range(32):
+            want[b, int(idx[b, r])] += np.asarray(g)[b, r]
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
 def test_sinkhorn_pallas_annealing(rng):
     x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
     y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
