@@ -4,6 +4,11 @@ RoboReach / RoboPush / RoboPickAndPlace / RoboPegInHole: each pins a scene,
 the proprio/obs/goal keys, and implements the desired_goal_state /
 set_initial_state / randomize hooks. Sensors/encoders are injected by the
 registration layer (registration.py), defaulting to the Passthrough pair.
+
+Goal randomization draws from the gymnasium per-env `self.np_random`
+generator, so `reset(seed=)` fully controls goal sequences — unlike the
+reference, which uses the global numpy RNG (envs.py:126-335) and is
+therefore unseedable across test/process boundaries.
 """
 
 from __future__ import annotations
@@ -75,9 +80,9 @@ class RoboReach(_TaskEnv):
         desired_state = state.copy()  # shallow copy; new array below
         target = np.array(
             [
-                np.random.uniform(-0.2, 0.2),
-                np.random.uniform(-0.2, 0.2),
-                np.random.uniform(0.85, 1.2),
+                self.np_random.uniform(-0.2, 0.2),
+                self.np_random.uniform(-0.2, 0.2),
+                self.np_random.uniform(0.85, 1.2),
             ],
             dtype=np.float32,
         )
@@ -113,12 +118,12 @@ class _CubeTaskEnv(_TaskEnv):
     @assert_correctness
     def desired_goal_state(self, state, rerender=False):
         cube_pos = np.array(state["cube_pos"], dtype=np.float32, copy=True)
-        dist = np.random.uniform(self.min_dist, self.max_dist)
-        direction = np.random.uniform(0, 2 * np.pi)
+        dist = self.np_random.uniform(self.min_dist, self.max_dist)
+        direction = self.np_random.uniform(0, 2 * np.pi)
         cube_pos[0] += dist * np.cos(direction)
         cube_pos[1] += dist * np.sin(direction)
-        if self.airborne_prob and np.random.uniform() < self.airborne_prob:
-            cube_pos[2] += np.random.uniform(0.01, 0.2)
+        if self.airborne_prob and self.np_random.uniform() < self.airborne_prob:
+            cube_pos[2] += self.np_random.uniform(0.01, 0.2)
 
         if rerender:
             if self.simulate_goal:
@@ -150,9 +155,9 @@ class RoboPush(_CubeTaskEnv):
             "cube_joint0",
             np.array(
                 [
-                    np.random.uniform(-0.4, 0.4),
-                    np.random.uniform(-0.4, 0.4),
-                    np.random.uniform(0.8, 0.9),
+                    self.np_random.uniform(-0.4, 0.4),
+                    self.np_random.uniform(-0.4, 0.4),
+                    self.np_random.uniform(0.8, 0.9),
                 ]
             ),
         )
@@ -170,9 +175,9 @@ class RoboPickAndPlace(_CubeTaskEnv):
             "cube_joint0",
             np.array(
                 [
-                    np.random.uniform(-0.4, 0.4),
-                    np.random.uniform(-0.4, 0.4),
-                    np.random.uniform(0.8, 1.3),
+                    self.np_random.uniform(-0.4, 0.4),
+                    self.np_random.uniform(-0.4, 0.4),
+                    self.np_random.uniform(0.8, 1.3),
                 ]
             ),
         )
@@ -223,7 +228,7 @@ class RoboPegInHole(_TaskEnv):
 
         files = sorted(glob.glob(f"{self.goal_state_dir}/*.pkl"))
         if files:
-            with open(np.random.choice(files), "rb") as f:
+            with open(self.np_random.choice(files), "rb") as f:
                 return pickle.load(f)
         if hasattr(self.backend, "solve_insertion"):
             if rerender:

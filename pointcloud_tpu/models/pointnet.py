@@ -55,6 +55,82 @@ def masked_max(x: Array, mask: Array | None, axis: int) -> Array:
     return jnp.max(x, axis=axis)
 
 
+class BNMaxPool(nn.Module):
+    """BatchNorm + (optional ReLU) + max-pool over axis -2, pooled FIRST.
+
+    Exact rewrite of `max(where(mask, relu?(BatchNorm(x)), -1e9), axis=-2)`:
+    BatchNorm is a per-channel monotone affine map (slope sign = sign of
+    `scale`) and ReLU/bf16-rounding are monotone, so
+        max_n BN(x)_nc == BN(max_n x_n)_c   where scale_c >= 0
+                          BN(min_n x_n)_c   otherwise.
+    Pooling the RAW pre-BN tensor first means the normalized (.., N, C)
+    tensor is never materialized and — the real win — the BatchNorm backward
+    runs on the pooled (.., C) values instead of the full tensor, removing
+    several full-tensor HBM passes from the gradient of every pre-pool
+    1024-wide layer (the dominant cost of the PointNet/PointNet2 stacks).
+
+    Statistics/normalization match nn.BatchNorm(momentum=0.9, eps=1e-5)
+    numerics: fp32 batch stats over all axes but the last, running-average
+    update in train mode, normalize computed in `dtype`. Masked slots are
+    excluded from the pool but (by the documented model contract,
+    check_train_mask_contract) DO contribute to batch statistics. Rows whose
+    mask is all-False return the -1e9 sentinel, like masked_max.
+    """
+
+    final_relu: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (C,), jnp.float32
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (C,), jnp.float32
+        )
+
+        if train:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(xf * xf, axis=red) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        if mask is not None:
+            m = jnp.expand_dims(mask, -1)
+            pmax = jnp.max(jnp.where(m, x, jnp.asarray(_NEG, x.dtype)), axis=-2)
+            pmin = jnp.min(jnp.where(m, x, jnp.asarray(-_NEG, x.dtype)), axis=-2)
+        else:
+            pmax = jnp.max(x, axis=-2)
+            pmin = jnp.min(x, axis=-2)
+        sel = jnp.where(scale >= 0, pmax, pmin)
+
+        # same promotion + operation order as flax _normalize
+        dt = self.dtype if self.dtype is not None else sel.dtype
+        y = sel.astype(dt) - mean.astype(dt)
+        mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt))
+        y = y * (mul * scale.astype(dt)) + bias.astype(dt)
+        if self.final_relu:
+            y = nn.relu(y)
+        if mask is not None:
+            # all-masked rows keep the masked_max sentinel (pre-BN semantics)
+            y = jnp.where(jnp.any(mask, axis=-1, keepdims=True), y, _NEG)
+        return y
+
+
 class PointwiseMLP(nn.Module):
     """Shared per-point MLP: Dense + BatchNorm (+ ReLU) per layer.
 
@@ -90,8 +166,10 @@ class STN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
-        h = PointwiseMLP((64, 128, 1024), dtype=self.dtype)(x, train=train)
-        h = masked_max(h, mask, axis=1)  # (B, 1024)
+        h = PointwiseMLP((64, 128), dtype=self.dtype)(x, train=train)
+        h = nn.Dense(1024, dtype=self.dtype)(h)
+        h = BNMaxPool(final_relu=True, dtype=self.dtype)(h, train=train, mask=mask)
+        # (B, 1024)
         for f in (512, 256):
             h = nn.Dense(f, dtype=self.dtype)(h)
             h = nn.BatchNorm(
@@ -126,7 +204,11 @@ class PointNetEncoder(nn.Module):
         self.mlp0 = PointwiseMLP((64, 64), dtype=dt)
         self.fstn = STN(k=64, dtype=dt) if self.feature_transform else None
         self.mlp1 = PointwiseMLP((64, 128), dtype=dt)
-        self.mlp2 = PointwiseMLP((1024,), final_activation=False, dtype=dt)
+        # final 128->1024 layer: BN fuses with the global max-pool (pooled
+        # BEFORE normalize — exact, see BNMaxPool; reference conv3+bn3 has
+        # no ReLU, pointnet.py:159-161, hence final_relu=False)
+        self.dense2 = nn.Dense(1024, dtype=dt)
+        self.bnpool2 = BNMaxPool(final_relu=False, dtype=dt)
 
     def _point_features(self, x, train, mask):
         if self.stn is not None:
@@ -143,16 +225,20 @@ class PointNetEncoder(nn.Module):
         check_train_mask_contract(train, mask)
         x = self._point_features(x, train, mask)
         x = self.mlp1(x, train=train)
-        x = self.mlp2(x, train=train)
-        return masked_max(x, mask, axis=1)  # (B, 1024)
+        x = self.dense2(x)
+        return self.bnpool2(x, train=train, mask=mask)  # (B, 1024)
 
     def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
         """Per-point (64-d) + tiled global features, (B, N, 64+1024)
         (reference forward_all_features, pointnet.py:166-200)."""
         pointfeat = self._point_features(x, train, mask)
         x = self.mlp1(pointfeat, train=train)
-        x = self.mlp2(x, train=train)
-        glob = masked_max(nn.relu(x), mask, axis=1)
+        x = self.dense2(x)
+        # relu commutes with the max-pool; re-assert the all-masked sentinel
+        # that relu would clamp to 0
+        glob = nn.relu(self.bnpool2(x, train=train, mask=mask))
+        if mask is not None:
+            glob = jnp.where(jnp.any(mask, axis=-1, keepdims=True), glob, _NEG)
         glob_tiled = jnp.broadcast_to(
             glob[:, None, :],
             (pointfeat.shape[0], pointfeat.shape[1], glob.shape[-1]),

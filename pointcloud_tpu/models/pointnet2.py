@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloud_tpu.models.pointnet import check_train_mask_contract
+from pointcloud_tpu.models.pointnet import BNMaxPool, check_train_mask_contract
 from pointcloud_tpu.ops.geometry import sample_and_group, sample_and_group_all
 
 Array = jax.Array
@@ -57,14 +57,18 @@ class SetAbstraction(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, features, mask=mask
             )
         x = grouped  # (B, S, K, 3+F)
-        for f in self.mlp:
+        for f in self.mlp[:-1]:
             x = nn.Dense(f, dtype=self.dtype)(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype
             )(x)
             x = nn.relu(x)
-        x = jnp.where(gmask[..., None], x, _NEG)
-        new_features = jnp.max(x, axis=2)  # (B, S, C_out)
+        # final layer: BN+ReLU fuse with the per-group max-pool (pooled
+        # before normalize — exact, see BNMaxPool)
+        x = nn.Dense(self.mlp[-1], dtype=self.dtype)(x)
+        new_features = BNMaxPool(final_relu=True, dtype=self.dtype)(
+            x, train=train, mask=gmask
+        )  # (B, S, C_out)
         return new_xyz, new_features, new_mask
 
 
@@ -113,16 +117,18 @@ class SetAbstractionMsg(nn.Module):
             else:
                 grouped = grouped_xyz
             h = grouped
-            for f in mlp:
+            for f in mlp[:-1]:
                 h = nn.Dense(f, dtype=self.dtype)(h)
                 h = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, dtype=self.dtype
                 )(h)
                 h = nn.relu(h)
-            h = jnp.where(
-                (in_ball & new_mask[..., None])[..., None], h, _NEG
+            h = nn.Dense(mlp[-1], dtype=self.dtype)(h)
+            branch_feats.append(
+                BNMaxPool(final_relu=True, dtype=self.dtype)(
+                    h, train=train, mask=in_ball & new_mask[..., None]
+                )
             )
-            branch_feats.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(branch_feats, axis=-1), new_mask
 
 

@@ -32,6 +32,7 @@ def load_yaml_config(env_id: str, path: str | None = None) -> dict:
         "hidden": net_arch,
         "critic_hidden": net_arch,
         "n_critics": int(policy_kwargs.get("n_critics", 2)),
+        "n_envs": int(entry.get("n_envs", 1)),
         "use_her": entry.get("replay_buffer_class") == "HerReplayBuffer",
         "her_strategy": replay_kwargs.get("goal_selection_strategy", "future"),
         "her_ratio": n_sampled / (n_sampled + 1),

@@ -111,10 +111,18 @@ def tqc(
     num_test_episodes: int = 10,
     save_path: str | None = None,
     log_fn=print,
+    n_envs: int = 1,
+    vec_env: str = "subproc",
 ):
     """Train TQC(+HER) on a GoalEnv; hyperparameter defaults follow
     rl/tqc.yml:207-277 (gamma .95, net widths per task there). Returns
-    (TQC policy, eval success history)."""
+    (TQC policy, eval success history).
+
+    n_envs > 1 collects experience from N parallel envs (reference:
+    rl_zoo3 `--vec-env subproc -params n_envs:4`, readme.md:86-89) via
+    rl.vec_env — per step, ONE batched jitted action call serves all envs.
+    vec_env: 'subproc' (worker processes; env_fn must be picklable) or
+    'dummy' (sequential in-process)."""
     env, test_env = env_fn(), env_fn()
     env.action_space.seed(seed)  # deterministic exploration
     rng = np.random.default_rng(seed)
@@ -214,9 +222,99 @@ def tqc(
             succ.append(float(info.get("is_success", False)))
         return float(np.mean(succ))
 
+    def do_updates():
+        nonlocal state, k_run
+        q_loss = pi_loss = jnp.zeros(())
+        for _ in range(gradient_steps):
+            if use_her:
+                batch = her_sample(
+                    buffer, batch_size, rng, reward_fn,
+                    strategy=her_strategy, her_ratio=her_ratio,
+                )
+            else:
+                batch = buffer.sample(batch_size, rng)
+                batch.pop("idx", None)
+            k_run, k_u = jax.random.split(k_run)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, q_loss, pi_loss = update(state, jbatch, k_u)
+        return q_loss
+
+    def log_epoch(t, q_loss, history, t0):
+        epoch = (t + 1) // steps_per_epoch
+        succ = test_agent()
+        history.append(succ)
+        log_fn(
+            f"epoch {epoch}/{epochs}: test success={succ:.2f} "
+            f"alpha={float(jnp.exp(state[3])):.3f} "
+            f"q_loss={float(q_loss):.4f} ({time.time() - t0:.0f}s)"
+        )
+        if save_path:
+            TQC(actor, state[0], act_limit).save(save_path)
+
     total_steps = steps_per_epoch * epochs
+
+    if n_envs > 1:
+        # parallel experience collection (reference rl_zoo3 subproc vec-env)
+        from pointcloud_tpu.rl.vec_env import DummyVecGoalEnv, SubprocVecGoalEnv
+
+        venv = (
+            SubprocVecGoalEnv([env_fn] * n_envs)
+            if vec_env == "subproc"
+            else DummyVecGoalEnv([env_fn] * n_envs)
+        )
+        obs_b, _ = venv.reset(seed=seed)
+        pend = [[] for _ in range(n_envs)]  # per-env episodes for HER contiguity
+        history, t0 = [], time.time()
+        q_loss = jnp.zeros(())
+        t = 0
+        next_epoch = steps_per_epoch
+        while t < total_steps:
+            if t < start_steps:
+                acts = np.stack(
+                    [venv.action_space.sample() for _ in range(n_envs)]
+                ).astype(np.float32)
+            else:
+                k_run, k_a = jax.random.split(k_run)
+                ob = np.concatenate(
+                    [obs_b["observation"], obs_b["desired_goal"]], axis=-1
+                ).astype(np.float32)
+                acts = np.clip(
+                    np.asarray(sample_act(state[0], ob, k_a)),
+                    -act_limit, act_limit,
+                )
+            obs2_b, rews, terms, truncs, infos = venv.step(acts)
+            for i in range(n_envs):
+                cur = {k: v[i] for k, v in obs_b.items()}
+                final = infos[i].get("final_observation")
+                nxt = final if final is not None else {
+                    k: v[i] for k, v in obs2_b.items()
+                }
+                pend[i].append(
+                    (cur["observation"], cur["achieved_goal"],
+                     cur["desired_goal"], acts[i], rews[i],
+                     nxt["observation"], nxt["achieved_goal"],
+                     float(terms[i]))
+                )
+                if terms[i] or truncs[i] or len(pend[i]) >= max_ep_len:
+                    for tr in pend[i]:
+                        buffer.store(*tr)
+                    buffer.end_episode()
+                    pend[i] = []
+            obs_b = obs2_b
+            t += n_envs
+            if t >= update_after and buffer.size > batch_size:
+                q_loss = do_updates()
+            if t >= next_epoch:
+                log_epoch(next_epoch - 1, q_loss, history, t0)
+                next_epoch += steps_per_epoch
+        venv.close()
+        env.close()
+        test_env.close()
+        return TQC(actor, state[0], act_limit), history
+
     o, info = env.reset(seed=seed)
     ep_len, history, t0 = 0, [], time.time()
+    q_loss = jnp.zeros(())
 
     for t in range(total_steps):
         if t < start_steps:
@@ -239,31 +337,10 @@ def tqc(
             ep_len = 0
 
         if t >= update_after and t % update_every == 0:
-            for _ in range(gradient_steps):
-                if use_her:
-                    batch = her_sample(
-                        buffer, batch_size, rng, reward_fn,
-                        strategy=her_strategy, her_ratio=her_ratio,
-                    )
-                else:
-                    batch = buffer.sample(batch_size, rng)
-                    batch.pop("idx", None)
-                k_run, k_u = jax.random.split(k_run)
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-                state, q_loss, pi_loss = update(state, jbatch, k_u)
+            q_loss = do_updates()
 
         if (t + 1) % steps_per_epoch == 0:
-            epoch = (t + 1) // steps_per_epoch
-            succ = test_agent()
-            history.append(succ)
-            log_fn(
-                f"epoch {epoch}/{epochs}: test success={succ:.2f} "
-                f"alpha={float(jnp.exp(state[3])):.3f} "
-                f"q_loss={float(q_loss):.4f} ({time.time() - t0:.0f}s)"
-            )
-            policy = TQC(actor, state[0], act_limit)
-            if save_path:
-                policy.save(save_path)
+            log_epoch(t, q_loss, history, t0)
 
     env.close()
     test_env.close()

@@ -269,3 +269,24 @@ def test_peginhole_synthetic_dataset_generation(tmp_path):
     gt = dict((k, v) for k, v in data["ground_truth"])
     assert set(gt) == {"peg_to_hole", "peg_quat", "hole_pos", "hole_quat",
                        "t", "d", "angle"}
+
+
+def test_goal_randomization_seeded():
+    """reset(seed=) controls the goal sequence (goals draw from the per-env
+    gymnasium np_random, improving on the reference's global-RNG goals)."""
+    e1 = gym.make("RoboReach-v0", max_episode_steps=10)
+    e2 = gym.make("RoboReach-v0", max_episode_steps=10)
+    try:
+        o1, _ = e1.reset(seed=123)
+        o2, _ = e2.reset(seed=123)
+        np.testing.assert_allclose(o1["desired_goal"], o2["desired_goal"])
+        o3, _ = e1.reset(seed=7)
+        assert not np.allclose(o1["desired_goal"], o3["desired_goal"])
+        # and the global numpy RNG no longer influences goals
+        o4, _ = e2.reset(seed=7)
+        np.random.seed(0)
+        o5, _ = e1.reset(seed=7)
+        np.testing.assert_allclose(o4["desired_goal"], o5["desired_goal"])
+    finally:
+        e1.close()
+        e2.close()

@@ -223,3 +223,91 @@ def test_bn_mask_contract_warns_in_debug(cloud):
         warnings.simplefilter("error")
         model.init(jax.random.PRNGKey(0), cloud, train=True)
         model.init(jax.random.PRNGKey(0), cloud, train=False, mask=mask)
+
+
+class _UnfusedBNMax(__import__("flax").linen.Module):
+    """Reference composition: BatchNorm -> (relu) -> mask -> max(axis=-2)."""
+
+    final_relu: bool = False
+    dtype: jnp.dtype | None = None
+
+    @__import__("flax").linen.compact
+    def __call__(self, x, train=False, mask=None):
+        import flax.linen as nn
+
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
+        if self.final_relu:
+            y = nn.relu(y)
+        if mask is not None:
+            y = jnp.where(jnp.expand_dims(mask, -1), y, -1e9)
+        return jnp.max(y, axis=-2)
+
+
+@pytest.mark.parametrize("train", [True, False])
+@pytest.mark.parametrize("final_relu", [True, False])
+@pytest.mark.parametrize("masked", [True, False])
+def test_bnmaxpool_matches_unfused(rng, train, final_relu, masked):
+    """BNMaxPool (pool before normalize) == BatchNorm+relu+masked max,
+    including negative scales, batch-stat updates, and gradients."""
+    from pointcloud_tpu.models.pointnet import BNMaxPool
+
+    x = jnp.asarray(rng.standard_normal((3, 17, 8), dtype=np.float32))
+    mask = jnp.asarray(rng.random((3, 17)) > 0.3) if masked else None
+    scale = jnp.asarray(rng.standard_normal(8), dtype=jnp.float32)  # +/- signs
+    bias = jnp.asarray(rng.standard_normal(8), dtype=jnp.float32)
+    rmean = jnp.asarray(rng.standard_normal(8), dtype=jnp.float32)
+    rvar = jnp.asarray(rng.random(8) + 0.5, dtype=jnp.float32)
+
+    fused = BNMaxPool(final_relu=final_relu)
+    unfused = _UnfusedBNMax(final_relu=final_relu)
+    vf = {
+        "params": {"scale": scale, "bias": bias},
+        "batch_stats": {"mean": rmean, "var": rvar},
+    }
+    vu = {
+        "params": {"BatchNorm_0": {"scale": scale, "bias": bias}},
+        "batch_stats": {"BatchNorm_0": {"mean": rmean, "var": rvar}},
+    }
+
+    def run(mod, v, x):
+        if train:
+            out, mut = mod.apply(v, x, train=True, mask=mask, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return mod.apply(v, x, train=False, mask=mask), None
+
+    of, sf = run(fused, vf, x)
+    ou, su = run(unfused, vu, x)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ou), rtol=1e-6, atol=1e-6)
+    if train:
+        np.testing.assert_allclose(
+            np.asarray(sf["mean"]), np.asarray(su["BatchNorm_0"]["mean"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sf["var"]), np.asarray(su["BatchNorm_0"]["var"]), rtol=1e-6
+        )
+
+    # gradient parity (w.r.t. input and scale/bias)
+    def loss_f(xx, s, b):
+        v = {"params": {"scale": s, "bias": b},
+             "batch_stats": {"mean": rmean, "var": rvar}}
+        if train:
+            out, _ = fused.apply(v, xx, train=True, mask=mask, mutable=["batch_stats"])
+        else:
+            out = fused.apply(v, xx, train=False, mask=mask)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_u(xx, s, b):
+        v = {"params": {"BatchNorm_0": {"scale": s, "bias": b}},
+             "batch_stats": {"BatchNorm_0": {"mean": rmean, "var": rvar}}}
+        if train:
+            out, _ = unfused.apply(v, xx, train=True, mask=mask, mutable=["batch_stats"])
+        else:
+            out = unfused.apply(v, xx, train=False, mask=mask)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, scale, bias)
+    gu = jax.grad(loss_u, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)

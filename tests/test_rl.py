@@ -194,3 +194,77 @@ def test_yaml_config_loader():
     assert abs(cfg["her_ratio"] - 0.8) < 1e-9
     cfg2 = load_yaml_config("RoboPush-v0")
     assert cfg2["hidden"] == (512, 512, 512)
+
+
+def _reach_env_fn():
+    return gym.make("RoboReach-v0", max_episode_steps=5)
+
+
+@pytest.mark.parametrize("kind", ["dummy", "subproc"])
+def test_vec_goal_env_batches_and_autoresets(kind):
+    """Vector GoalEnvs (reference rl_zoo3 subproc vec-env path): batched
+    obs dicts, autoreset with final_observation on done."""
+    import functools
+
+    from pointcloud_tpu.rl.vec_env import (
+        DummyVecGoalEnv, SubprocVecGoalEnv, make_env,
+    )
+
+    n = 2
+    if kind == "dummy":
+        venv = DummyVecGoalEnv([_reach_env_fn] * n)
+    else:
+        fn = functools.partial(make_env, "RoboReach-v0", max_episode_steps=5)
+        venv = SubprocVecGoalEnv([fn] * n)
+    try:
+        obs, infos = venv.reset(seed=0)
+        assert obs["observation"].shape[0] == n
+        assert obs["desired_goal"].shape[0] == n
+        act_dim = venv.action_space.shape[0]
+        saw_final = False
+        for _ in range(6):  # max_episode_steps=5 -> guaranteed truncation
+            acts = np.stack([venv.action_space.sample() for _ in range(n)])
+            obs, rews, terms, truncs, infos = venv.step(acts)
+            assert obs["observation"].shape[0] == n
+            assert rews.shape == (n,) and terms.shape == (n,)
+            for info in infos:
+                if "final_observation" in info:
+                    saw_final = True
+                    assert "observation" in info["final_observation"]
+        assert saw_final, "TimeLimit truncation should surface final_observation"
+        r = venv.compute_reward(
+            np.zeros((2, 3), np.float32), np.zeros((2, 3), np.float32)
+        )
+        assert np.asarray(r).shape == (2,)
+        assert act_dim == 4
+    finally:
+        venv.close()
+
+
+def test_tqc_n_envs_smoke():
+    """TQC with parallel collection (n_envs=2) trains and stays finite."""
+    from pointcloud_tpu.rl.tqc import tqc
+
+    policy, history = tqc(
+        _reach_env_fn,
+        hidden=(32, 32),
+        critic_hidden=(32, 32),
+        epochs=1,
+        steps_per_epoch=120,
+        start_steps=40,
+        update_after=40,
+        batch_size=32,
+        max_ep_len=5,
+        num_test_episodes=2,
+        seed=0,
+        log_fn=lambda *a: None,
+        n_envs=2,
+        vec_env="dummy",
+    )
+    obs = {
+        "observation": np.zeros(3, np.float32),
+        "desired_goal": np.zeros(3, np.float32),
+    }
+    a, _ = policy.predict(obs)
+    assert a.shape == (4,) and np.isfinite(a).all()
+    assert len(history) == 1

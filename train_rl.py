@@ -9,8 +9,6 @@ Usage: python train_rl.py RoboReach-v0 [--algo tqc|ddpg|her]
 
 import argparse
 
-import gymnasium as gym
-
 import pointcloud_tpu  # noqa: F401  (registers envs)
 
 
@@ -23,10 +21,18 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save", default=None, type=str)
     parser.add_argument("--conf", default=None, type=str, help="tqc.yml path")
+    parser.add_argument(
+        "--n-envs", default=None, type=int,
+        help="parallel collection envs (tqc only; default from tqc.yml)",
+    )
     a = parser.parse_args()
 
-    def env_fn():
-        return gym.make(a.env, max_episode_steps=50)
+    import functools
+
+    from pointcloud_tpu.rl.vec_env import make_env
+
+    # picklable under the subproc vec-env's 'spawn' context
+    env_fn = functools.partial(make_env, a.env, max_episode_steps=50)
 
     if a.algo == "tqc":
         from pointcloud_tpu.rl.config import load_yaml_config
@@ -37,6 +43,8 @@ def main():
         except Exception:
             cfg = {}
         cfg.pop("total_timesteps", None)
+        if a.n_envs is not None:
+            cfg["n_envs"] = a.n_envs
         policy, history = tqc(
             env_fn,
             epochs=a.epochs,
