@@ -80,23 +80,70 @@ def _nn_fwd(x, y, xw, yw):
 def _nn_bwd(res, grads):
     x, y, xw, yw, amin_x, amin_y = res
     gx, gy = grads  # (B, N), (B, M)
-    B = x.shape[0]
-    bidx_n = jnp.arange(B)[:, None]
     # masked rows carry BIG dists; their cotangents are zero by construction
     # in the chamfer means, but zero them defensively anyway
     gx = gx * (xw > 0.5)
     gy = gy * (yw > 0.5)
 
-    y_near = jnp.take_along_axis(y, amin_x[..., None], axis=1)  # (B, N, 3)
-    diff_x = x - y_near
-    dx = 2.0 * gx[..., None] * diff_x
-    dy = jnp.zeros_like(y).at[bidx_n, amin_x].add(-2.0 * gx[..., None] * diff_x)
-
-    x_near = jnp.take_along_axis(x, amin_y[..., None], axis=1)  # (B, M, 3)
-    diff_y = y - x_near
-    dy = dy + 2.0 * gy[..., None] * diff_y
-    dx = dx.at[bidx_n, amin_y].add(-2.0 * gy[..., None] * diff_y)
+    y_near = _flat_gather(y, amin_x)  # (B, N, 3)
+    term_x = 2.0 * gx[..., None] * (x - y_near)  # rows aligned to x
+    x_near = _flat_gather(x, amin_y)  # (B, M, 3)
+    term_y = 2.0 * gy[..., None] * (y - x_near)  # rows aligned to y
+    dx, dy = _combine_nn_grads(term_x, term_y, amin_x, amin_y)
     return dx, dy, jnp.zeros_like(xw), jnp.zeros_like(yw)
+
+
+def _flat_gather(src, idx):
+    """take_along_axis(src, idx[..., None], axis=1) as one flat-row gather.
+
+    The batched formulation makes XLA's TPU layout assignment pick an
+    N-minor operand layout + channel-major output for the gather fusion
+    (~3.6 ms each at B=256 next to the Pallas custom calls); the flattened
+    single-axis gather keeps row-major layouts throughout.
+    """
+    B, S, C = src.shape
+    flat = src.reshape(B * S, C)
+    gidx = idx + (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
+    return flat[gidx.reshape(-1)].reshape(B, idx.shape[1], C)
+
+
+def _combine_nn_grads(term_x, term_y, amin_x, amin_y,
+                      impl: str = "auto", interpret: bool = False):
+    """dx = term_x - segsum(term_y -> amin_y), dy symmetric.
+
+    On TPU the segment-sums ride the one-hot MXU kernel (scatter_rows_pallas,
+    the grouping-VJP kernel): XLA lowers a non-unique scatter-add to a
+    serialized per-update loop there (~30 ms of a B=256 PointNet AE train
+    step, benchmarks/pointnet_ablate.py). Elsewhere .at[].add is fine.
+    """
+    if impl == "auto":
+        impl = "pallas" if _use_pallas() else "xla"
+    if impl == "pallas":
+        from pointcloud_tpu.ops.pallas_kernels import scatter_rows_pallas
+
+        def segsum(rows, idx, n, init):
+            # 3-way split-bf16 packing: one-hot rows select bf16 values
+            # exactly and hi+mid+lo reconstructs fp32 to ~2^-24, so the MXU
+            # segment-sum runs at single-pass bf16 speed (3C = 9 lanes pads
+            # to 128 anyway) instead of 3-pass HIGHEST fp32; the fold-back
+            # and the `init +` add both happen in-kernel (fold=3, init=).
+            rows = rows.astype(jnp.float32)
+            hi = jax.lax.optimization_barrier(rows.astype(jnp.bfloat16))
+            r1 = rows - hi.astype(jnp.float32)
+            mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            packed = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, R, 3C)
+            return scatter_rows_pallas(
+                packed, idx, n, init=init, fold=3, interpret=interpret
+            )
+
+        dx = segsum(-term_y, amin_y, term_x.shape[1], term_x).astype(term_x.dtype)
+        dy = segsum(-term_x, amin_x, term_y.shape[1], term_y).astype(term_y.dtype)
+        return dx, dy
+    bidx_n = jnp.arange(term_x.shape[0])[:, None]
+    dx = term_x.at[bidx_n, amin_y].add(-term_y)
+    dy = term_y.at[bidx_n, amin_x].add(-term_x)
+    return dx, dy
 
 
 nearest_neighbor_dists.defvjp(_nn_fwd, _nn_bwd)

@@ -488,7 +488,7 @@ def _group_gather_call(xyz, cents_t, p_t, pen, *, k, radius, split_xyz,
     )(xyz, cents_t, p_t, pen)
 
 
-def _scatter_kernel(g_ref, idxt_ref, out_ref, *, n, r_tile):
+def _scatter_kernel(g_ref, idxt_ref, out_ref, *, n, r_tile, fold, init_ref=None):
     """Segment-sum of g rows onto their idx targets: the grouping VJP.
 
     out[n] = sum_r [idx[r] == n] * g[r], computed as R-row tiles of a
@@ -496,18 +496,29 @@ def _scatter_kernel(g_ref, idxt_ref, out_ref, *, n, r_tile):
     atomics (a deterministic replacement for the reference's atomicAdd
     backward pattern, emd_cuda.cu:284-316). The row tiles live on the GRID
     (same out block revisited) so only one one-hot is in VMEM at a time.
+
+    fold > 1: g carries `fold` split-precision copies of each of the C
+    output channels ([hi | mid | lo] columns, chamfer.py segsum); the
+    per-tile dot result folds them back before accumulating, so the split
+    never materializes in HBM. init_ref: optional (n, C) addend the output
+    starts from (fuses the consumer's `term + segsum(...)` add).
     """
     t = pl.program_id(1)
+    C = out_ref.shape[1]
 
     @pl.when(t == 0)
     def _():
-        out_ref[:, :] = jnp.zeros((n, out_ref.shape[1]), jnp.float32)
+        out_ref[:, :] = (
+            jnp.zeros((n, C), jnp.float32)
+            if init_ref is None
+            else init_ref[:, :].astype(jnp.float32)
+        )
 
     ids = idxt_ref[:, :]  # (1, R)
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (n, r_tile), 0) == ids
     ).astype(g_ref.dtype)
-    out_ref[:, :] += jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         oh,
         g_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -517,39 +528,62 @@ def _scatter_kernel(g_ref, idxt_ref, out_ref, *, n, r_tile):
         precision=(None if g_ref.dtype == jnp.bfloat16
                    else jax.lax.Precision.HIGHEST),
     )
+    if fold > 1:
+        acc = sum(acc[:, k * C : (k + 1) * C] for k in range(fold))
+    out_ref[:, :] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _scatter_kernel_init(g_ref, idxt_ref, init_ref, out_ref, *, n, r_tile, fold):
+    _scatter_kernel(g_ref, idxt_ref, out_ref, n=n, r_tile=r_tile, fold=fold,
+                    init_ref=init_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "fold", "interpret"))
 def scatter_rows_pallas(g: jax.Array, idx: jax.Array, n: int,
+                        init: jax.Array | None = None, fold: int = 1,
                         interpret: bool = False) -> jax.Array:
-    """g (B, R, C), idx (B, R) int32 -> (B, n, C) fp32 with out[b, idx[b,r]]
-    += g[b,r] (deterministic segment-sum via one-hot MXU matmuls)."""
-    B, rows, C = g.shape
+    """g (B, R, fold*C), idx (B, R) int32 -> (B, n, C) fp32 with
+    out[b, idx[b,r]] += g[b,r] (deterministic segment-sum via one-hot MXU
+    matmuls). fold > 1 folds split-precision column groups in-kernel;
+    init (B, n, C) seeds the output (fused `init + segsum` add)."""
+    B, rows, Cg = g.shape
+    C = Cg // fold
     idxt = idx.reshape(B, 1, rows).astype(jnp.int32)
     r_tile = 512
     while rows % r_tile:
         r_tile //= 2
-    kernel = functools.partial(_scatter_kernel, n=n, r_tile=r_tile)
+    vmem = min(
+        4 * n * r_tile
+        + 4 * r_tile * max(Cg, 128)
+        + 12 * n * max(Cg, 128)
+        + (4 << 20),
+        120 << 20,
+    )
+    grid = (B, rows // r_tile)
+    out_spec = pl.BlockSpec((None, n, C), lambda b, t: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, n, C), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((None, r_tile, Cg), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((None, 1, r_tile), lambda b, t: (b, 0, t)),
+    ]
+    if init is None:
+        kernel = functools.partial(_scatter_kernel, n=n, r_tile=r_tile, fold=fold)
+        args = (g, idxt)
+    else:
+        kernel = functools.partial(
+            _scatter_kernel_init, n=n, r_tile=r_tile, fold=fold
+        )
+        in_specs.append(pl.BlockSpec((None, n, C), lambda b, t: (b, 0, 0)))
+        args = (g, idxt, init)
     return pl.pallas_call(
         kernel,
-        grid=(B, rows // r_tile),
-        in_specs=[
-            pl.BlockSpec((None, r_tile, C), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((None, 1, r_tile), lambda b, t: (b, 0, t)),
-        ],
-        out_specs=pl.BlockSpec((None, n, C), lambda b, t: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                4 * n * r_tile
-                + 4 * r_tile * max(C, 128)
-                + 8 * n * max(C, 128)
-                + (4 << 20),
-                120 << 20,
-            )
-        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
-    )(g, idxt)
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

@@ -91,3 +91,22 @@ def test_masked_chamfer_directed(rng):
     y = x + 0.0
     cx, cy = masked_chamfer(jnp.asarray(x), jnp.asarray(y))
     assert float(cx[0]) <= 1e-7 and float(cy[0]) <= 1e-7
+
+
+def test_nn_bwd_pallas_segsum_matches_scatter(rng):
+    """The TPU chamfer backward (one-hot MXU segment-sum, interpret mode)
+    matches the XLA scatter-add combine exactly."""
+    from pointcloud_tpu.ops.chamfer import _combine_nn_grads
+
+    B, N, M = 2, 64, 48
+    term_x = jnp.asarray(rng.standard_normal((B, N, 3)), dtype=jnp.float32)
+    term_y = jnp.asarray(rng.standard_normal((B, M, 3)), dtype=jnp.float32)
+    amin_x = jnp.asarray(rng.integers(0, M, (B, N)), dtype=jnp.int32)
+    amin_y = jnp.asarray(rng.integers(0, N, (B, M)), dtype=jnp.int32)
+
+    dx_ref, dy_ref = _combine_nn_grads(term_x, term_y, amin_x, amin_y, impl="xla")
+    dx_pal, dy_pal = _combine_nn_grads(
+        term_x, term_y, amin_x, amin_y, impl="pallas", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dx_pal), np.asarray(dx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy_pal), np.asarray(dy_ref), atol=1e-5)
