@@ -131,6 +131,139 @@ class BNMaxPool(nn.Module):
         return y
 
 
+class DenseBNMaxPool(nn.Module):
+    """Dense + BNMaxPool in one module, with a fused Pallas path on TPU.
+
+    Semantics are exactly `BNMaxPool(final_relu)(nn.Dense(features)(x))`:
+    the pre-pool dense output exists only as streamed tiles on TPU
+    (ops/dense_bn_pool.py — forward accumulates BN stats + per-block masked
+    max/min/argmax without materializing z in HBM; the custom VJP
+    reconstructs dz = dssum + 2*dssq*z + sparse tile-wise), which removes
+    the (B, N, 1024)-sized HBM tensors of every pre-pool layer from both
+    passes. Elsewhere (CPU tests) an unfused XLA oracle with identical
+    semantics feeds the same normalization code.
+
+    Input (..., R, Cin): 3-D pools the whole R axis -> (..., C); 4-D
+    (B, S, K, Cin) pools K per group -> (B, S, C). mask matches the input
+    minus the channel dim.
+    """
+
+    features: int
+    final_relu: bool = False
+    use_bias: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None,
+                 impl: str = "auto", interpret: bool = False):
+        from pointcloud_tpu.ops.dense_bn_pool import (
+            dense_pool_stats, dense_pool_stats_reference,
+        )
+
+        C = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], C), jnp.float32,
+        )
+        dbias = (
+            self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((C,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        offset = self.param("offset", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (C,), jnp.float32
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (C,), jnp.float32
+        )
+
+        dt = self.dtype if self.dtype is not None else x.dtype
+        lead = x.shape[:-2]
+        pool = x.shape[-2]
+        n_rows = x.size // x.shape[-1]  # all rows, every leading dim
+
+        if impl == "auto":
+            # The kernel's win is avoiding the stats passes and the dz
+            # materialization in TRAIN, and it only beats XLA's batched
+            # matmul when the pre-pool z is large enough that those passes
+            # dominate (measured crossover ~2e8 elements: PointNet@B=256 is
+            # 5.4e8 and gains 15%, PointNet2 SA@B=64 is 1.3e8 and loses
+            # ~7%). Eval always takes XLA's single big fused matmul + pool.
+            big = n_rows * C >= int(2e8)
+            impl = "fused" if (train and big and _use_fused_pool()) else "xla"
+
+        if impl == "fused":
+            if x.ndim == 4:  # (B, S, K, Cin): K-blocks within each batch row
+                xr = x.reshape(x.shape[0], -1, x.shape[-1])
+            else:  # (B, R, Cin): one block spanning all R rows
+                xr = x
+            B2, R = xr.shape[0], xr.shape[1]
+            pen = (
+                jnp.where(mask.reshape(B2, R), jnp.float32(0.0),
+                          jnp.float32(1e9))
+                if mask is not None
+                else jnp.zeros((B2, R), jnp.float32)
+            )
+            pmax, pmin, _, _, ssum, ssq = dense_pool_stats(
+                xr.astype(dt), kernel.astype(dt), dbias.astype(dt), pen,
+                pool, interpret,
+            )
+            pmax = pmax.reshape(*lead, C)
+            pmin = pmin.reshape(*lead, C)
+        else:
+            # plain XLA in native shape — exactly nn.Dense + BNMaxPool's ops
+            z = (
+                jnp.einsum("...i,ic->...c", x.astype(dt), kernel.astype(dt))
+                + dbias.astype(dt)
+            ).astype(dt)
+            zf = z.astype(jnp.float32)
+            ssum = jnp.sum(zf, axis=tuple(range(z.ndim - 1)))
+            ssq = jnp.sum(zf * zf, axis=tuple(range(z.ndim - 1)))
+            if mask is not None:
+                m = jnp.expand_dims(mask, -1)
+                pmax = jnp.max(jnp.where(m, z, jnp.asarray(_NEG, dt)), axis=-2)
+                pmin = jnp.min(jnp.where(m, z, jnp.asarray(-_NEG, dt)), axis=-2)
+            else:
+                pmax = jnp.max(z, axis=-2)
+                pmin = jnp.min(z, axis=-2)
+
+        if train:
+            count = float(n_rows)
+            mean = ssum / count
+            var = ssq / count - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        sel = jnp.where(scale >= 0, pmax, pmin)  # (*lead, C)
+        y = sel.astype(dt) - mean.astype(dt)
+        mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt))
+        y = y * (mul * scale.astype(dt)) + offset.astype(dt)
+        if self.final_relu:
+            y = nn.relu(y)
+        if mask is not None:
+            # all-masked rows keep the masked_max sentinel (pre-BN semantics)
+            y = jnp.where(jnp.any(mask, axis=-1)[..., None], y, _NEG)
+        return y
+
+
+def _use_fused_pool() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class PointwiseMLP(nn.Module):
     """Shared per-point MLP: Dense + BatchNorm (+ ReLU) per layer.
 
@@ -167,9 +300,9 @@ class STN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         h = PointwiseMLP((64, 128), dtype=self.dtype)(x, train=train)
-        h = nn.Dense(1024, dtype=self.dtype)(h)
-        h = BNMaxPool(final_relu=True, dtype=self.dtype)(h, train=train, mask=mask)
-        # (B, 1024)
+        h = DenseBNMaxPool(1024, final_relu=True, dtype=self.dtype)(
+            h, train=train, mask=mask
+        )  # (B, 1024)
         for f in (512, 256):
             h = nn.Dense(f, dtype=self.dtype)(h)
             h = nn.BatchNorm(
@@ -204,11 +337,10 @@ class PointNetEncoder(nn.Module):
         self.mlp0 = PointwiseMLP((64, 64), dtype=dt)
         self.fstn = STN(k=64, dtype=dt) if self.feature_transform else None
         self.mlp1 = PointwiseMLP((64, 128), dtype=dt)
-        # final 128->1024 layer: BN fuses with the global max-pool (pooled
-        # BEFORE normalize — exact, see BNMaxPool; reference conv3+bn3 has
-        # no ReLU, pointnet.py:159-161, hence final_relu=False)
-        self.dense2 = nn.Dense(1024, dtype=dt)
-        self.bnpool2 = BNMaxPool(final_relu=False, dtype=dt)
+        # final 128->1024 layer: Dense+BN fuse with the global max-pool
+        # (pooled BEFORE normalize — exact, see BNMaxPool/DenseBNMaxPool;
+        # reference conv3+bn3 has no ReLU, pointnet.py:159-161)
+        self.dbnpool2 = DenseBNMaxPool(1024, final_relu=False, dtype=dt)
 
     def _point_features(self, x, train, mask):
         if self.stn is not None:
@@ -225,18 +357,16 @@ class PointNetEncoder(nn.Module):
         check_train_mask_contract(train, mask)
         x = self._point_features(x, train, mask)
         x = self.mlp1(x, train=train)
-        x = self.dense2(x)
-        return self.bnpool2(x, train=train, mask=mask)  # (B, 1024)
+        return self.dbnpool2(x, train=train, mask=mask)  # (B, 1024)
 
     def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
         """Per-point (64-d) + tiled global features, (B, N, 64+1024)
         (reference forward_all_features, pointnet.py:166-200)."""
         pointfeat = self._point_features(x, train, mask)
         x = self.mlp1(pointfeat, train=train)
-        x = self.dense2(x)
         # relu commutes with the max-pool; re-assert the all-masked sentinel
         # that relu would clamp to 0
-        glob = nn.relu(self.bnpool2(x, train=train, mask=mask))
+        glob = nn.relu(self.dbnpool2(x, train=train, mask=mask))
         if mask is not None:
             glob = jnp.where(jnp.any(mask, axis=-1, keepdims=True), glob, _NEG)
         glob_tiled = jnp.broadcast_to(

@@ -14,7 +14,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloud_tpu.models.pointnet import BNMaxPool, check_train_mask_contract
+from pointcloud_tpu.models.pointnet import (
+    DenseBNMaxPool,
+    check_train_mask_contract,
+)
 from pointcloud_tpu.ops.geometry import sample_and_group, sample_and_group_all
 
 Array = jax.Array
@@ -63,12 +66,11 @@ class SetAbstraction(nn.Module):
                 use_running_average=not train, momentum=0.9, dtype=self.dtype
             )(x)
             x = nn.relu(x)
-        # final layer: BN+ReLU fuse with the per-group max-pool (pooled
-        # before normalize — exact, see BNMaxPool)
-        x = nn.Dense(self.mlp[-1], dtype=self.dtype)(x)
-        new_features = BNMaxPool(final_relu=True, dtype=self.dtype)(
-            x, train=train, mask=gmask
-        )  # (B, S, C_out)
+        # final layer: Dense+BN+ReLU fuse with the per-group max-pool
+        # (pooled before normalize — exact, see BNMaxPool/DenseBNMaxPool)
+        new_features = DenseBNMaxPool(
+            self.mlp[-1], final_relu=True, dtype=self.dtype
+        )(x, train=train, mask=gmask)  # (B, S, C_out)
         return new_xyz, new_features, new_mask
 
 
@@ -123,9 +125,8 @@ class SetAbstractionMsg(nn.Module):
                     use_running_average=not train, momentum=0.9, dtype=self.dtype
                 )(h)
                 h = nn.relu(h)
-            h = nn.Dense(mlp[-1], dtype=self.dtype)(h)
             branch_feats.append(
-                BNMaxPool(final_relu=True, dtype=self.dtype)(
+                DenseBNMaxPool(mlp[-1], final_relu=True, dtype=self.dtype)(
                     h, train=train, mask=in_ball & new_mask[..., None]
                 )
             )

@@ -1,0 +1,379 @@
+"""Fused Dense -> (BatchNorm stats) -> block max/min pool, Pallas TPU.
+
+The pre-pool Dense output `z = x @ W + bias` of every 1024-wide PointNet /
+PointNet2 layer is consumed ONLY by (a) BatchNorm batch statistics and
+(b) the max-pool (BNMaxPool pools raw z, models/pointnet.py). Unfused, z is
+a (B, N, 1024) HBM tensor (1 GB at B=256) written once and re-read by the
+stats and pooling passes, and the backward materializes a same-sized dz.
+This kernel streams row tiles through the MXU and reduces them on the fly —
+z NEVER exists in HBM, forward or backward:
+
+  forward:  per tile  z_t = x_t @ W + bias  ->  accumulate fp32 sum/sumsq
+            (BN stats, ALL rows incl. masked — the documented model
+            contract), per-block masked max/min + lowest-index argmax.
+  backward: dz has the closed form  dssum_c + 2*dssq_c*z + sparse  where
+            the sparse part touches one (argmax / argmin) row per
+            (block, channel); each tile recomputes z_t, forms dz_t in VMEM,
+            and feeds the dx / dW matmuls directly.
+
+The BN normalization itself runs OUTSIDE on the pooled (B, nb, C) values
+(models/pointnet.py BNMaxPool algebra: BN is per-channel monotone affine,
+so pool-then-normalize is exact) — so this op is purely
+`(pooled raw stats) = f(x, W, bias)` with a custom VJP, and plain autodiff
+handles every gamma/beta/mean/var path on small tensors.
+
+Tie-break: argmax/argmin keep the lowest index (deterministic); jnp.max's
+autodiff splits gradients evenly across exact ties instead — identical for
+real-valued data, documented divergence on exact ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e9
+
+
+def _row_tile(rows: int, pool: int, C: int) -> int:
+    """Largest multiple of `pool` dividing `rows` with tile*C <= ~2M el."""
+    bpt = max(1, (2 * 1024 * 1024) // max(C * pool, 1))
+    bpt = min(bpt, rows // pool)
+    while (rows // pool) % bpt:
+        bpt -= 1
+    return bpt * pool
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, pen_ref,
+                pmax_ref, pmin_ref, amax_ref, amin_ref, ssum_ref, ssq_ref,
+                *, rows, pool, r_tile, dtype, f32_dots):
+    b = pl.program_id(0)
+    C = w_ref.shape[1]
+    bpt = r_tile // pool
+    n_tiles = rows // r_tile
+    prec = jax.lax.Precision.HIGHEST if f32_dots else None
+
+    @pl.when(b == 0)
+    def _():
+        ssum_ref[:, :] = jnp.zeros((1, C), jnp.float32)
+        ssq_ref[:, :] = jnp.zeros((1, C), jnp.float32)
+
+    within = jax.lax.broadcasted_iota(jnp.int32, (bpt, pool, C), 1)
+
+    def tile(t, acc):
+        s, q = acc
+        z = jax.lax.dot_general(
+            x_ref[pl.ds(t * r_tile, r_tile), :], w_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) + b_ref[:, :].astype(jnp.float32)
+        z = z.astype(dtype)  # the exact value flax's Dense hands to BN
+        zf = z.astype(jnp.float32)
+        s = s + jnp.sum(zf, axis=0, keepdims=True)
+        q = q + jnp.sum(zf * zf, axis=0, keepdims=True)
+
+        pen = pen_ref[pl.ds(t * r_tile, r_tile), :]  # (r_tile, 1) f32
+        # comparisons run in f32: Mosaic rejects the sub-word i1 mask
+        # relayouts bf16 equality produces (CLAUDE.md "compare floats");
+        # max/min commute with the (exact) bf16->f32 promotion.
+        if bpt == 1:
+            p2 = pen.astype(dtype)
+            zmax = z - p2
+            zmin = z + p2
+            mx = jnp.max(zmax, axis=0, keepdims=True)  # (1, C)
+            mn = jnp.min(zmin, axis=0, keepdims=True)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (r_tile, C), 0)
+            amx = jnp.min(
+                jnp.where(
+                    zmax.astype(jnp.float32) == mx.astype(jnp.float32),
+                    rid, pool,
+                ), axis=0, keepdims=True,
+            ).astype(jnp.int32)
+            amn = jnp.min(
+                jnp.where(
+                    zmin.astype(jnp.float32) == mn.astype(jnp.float32),
+                    rid, pool,
+                ), axis=0, keepdims=True,
+            ).astype(jnp.int32)
+        else:
+            z3 = z.reshape(bpt, pool, C)
+            p3 = pen.reshape(bpt, pool, 1).astype(dtype)
+            zmax = z3 - p3
+            zmin = z3 + p3
+            mx = jnp.max(zmax, axis=1)  # (bpt, C)
+            mn = jnp.min(zmin, axis=1)
+            amx = jnp.min(
+                jnp.where(
+                    zmax.astype(jnp.float32)
+                    == mx[:, None, :].astype(jnp.float32),
+                    within, pool,
+                ), axis=1,
+            ).astype(jnp.int32)
+            amn = jnp.min(
+                jnp.where(
+                    zmin.astype(jnp.float32)
+                    == mn[:, None, :].astype(jnp.float32),
+                    within, pool,
+                ), axis=1,
+            ).astype(jnp.int32)
+        off = t * bpt
+        pmax_ref[pl.ds(off, bpt), :] = mx
+        pmin_ref[pl.ds(off, bpt), :] = mn
+        amax_ref[pl.ds(off, bpt), :] = amx
+        amin_ref[pl.ds(off, bpt), :] = amn
+        return s, q
+
+    s, q = jax.lax.fori_loop(
+        0, n_tiles, tile,
+        (jnp.zeros((1, C), jnp.float32), jnp.zeros((1, C), jnp.float32)),
+    )
+    ssum_ref[:, :] += s
+    ssq_ref[:, :] += q
+
+
+def _bwd_kernel(x_ref, xt_ref, w_ref, wt_ref, b_ref, amax_ref, amin_ref,
+                dpmax_ref, dpmin_ref, dssum_ref, dssq_ref,
+                dx_ref, dw_ref, db_ref, dw_acc, db_acc,
+                *, rows, pool, r_tile, dtype, f32_dots):
+    b = pl.program_id(0)
+    C = w_ref.shape[1]
+    Cin = w_ref.shape[0]
+    bpt = r_tile // pool
+    n_tiles = rows // r_tile
+    prec = jax.lax.Precision.HIGHEST if f32_dots else None
+
+    @pl.when(b == 0)
+    def _():
+        dw_ref[:, :] = jnp.zeros((Cin, C), jnp.float32)
+        db_ref[:, :] = jnp.zeros((1, C), jnp.float32)
+
+    dw_acc[:, :] = jnp.zeros((Cin, C), jnp.float32)
+    db_acc[:, :] = jnp.zeros((1, C), jnp.float32)
+
+    within = jax.lax.broadcasted_iota(jnp.int32, (bpt, pool, C), 1)
+    A = dssum_ref[:, :]  # (1, C) f32
+    Bc = 2.0 * dssq_ref[:, :]
+
+    def tile(t, _):
+        z = jax.lax.dot_general(
+            x_ref[pl.ds(t * r_tile, r_tile), :], w_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) + b_ref[:, :].astype(jnp.float32)
+        z = z.astype(dtype).astype(jnp.float32)  # identical rounding to fwd
+        dz = A + Bc * z  # (r_tile, C) f32
+
+        off = t * bpt
+        if bpt == 1:  # 2-D path (see fwd kernel)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (r_tile, C), 0)
+            amx = amax_ref[pl.ds(off, 1), :]
+            amn = amin_ref[pl.ds(off, 1), :]
+            dmx = dpmax_ref[pl.ds(off, 1), :]
+            dmn = dpmin_ref[pl.ds(off, 1), :]
+            dz = dz + jnp.where(rid == amx, dmx, 0.0)
+            dz = dz + jnp.where(rid == amn, dmn, 0.0)
+        else:
+            dz3 = dz.reshape(bpt, pool, C)
+            amx = amax_ref[pl.ds(off, bpt), :][:, None, :]
+            amn = amin_ref[pl.ds(off, bpt), :][:, None, :]
+            dmx = dpmax_ref[pl.ds(off, bpt), :][:, None, :]
+            dmn = dpmin_ref[pl.ds(off, bpt), :][:, None, :]
+            dz3 = dz3 + jnp.where(within == amx, dmx, 0.0)
+            dz3 = dz3 + jnp.where(within == amn, dmn, 0.0)
+            dz = dz3.reshape(r_tile, C)
+        db_acc[:, :] += jnp.sum(dz, axis=0, keepdims=True)
+
+        dzc = dz.astype(dtype)  # activation-precision cotangents
+        dx_ref[pl.ds(t * r_tile, r_tile), :] = jax.lax.dot_general(
+            dzc, wt_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dtype)
+        dw_acc[:, :] += jax.lax.dot_general(
+            xt_ref[:, pl.ds(t * r_tile, r_tile)], dzc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+    dw_ref[:, :] += dw_acc[:, :]
+    db_ref[:, :] += db_acc[:, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def dense_pool_stats(x, w, bias, pen, pool, interpret=False):
+    """x (B, R, Cin), w (Cin, C), bias (C,), pen (B, R) f32 (+BIG on
+    masked rows), pool: block size (R % pool == 0). Returns
+      pmax, pmin (B, R//pool, C) x.dtype — per-block masked max/min of
+        z - pen / z + pen where z = (x @ w + bias) rounded to x.dtype,
+      amax, amin (B, R//pool, C) i32 — within-block lowest-index arg,
+      ssum, ssq (C,) f32 — sums of z and z^2 over ALL (B, R) rows.
+    Gradients flow to x, w, bias (selection and pen are non-diff).
+    """
+    return _fwd(x, w, bias, pen, pool, interpret)[0]
+
+
+def _fwd(x, w, bias, pen, pool, interpret):
+    B, R, Cin = x.shape
+    C = w.shape[1]
+    nb = R // pool
+    dtype = x.dtype
+    f32_dots = dtype == jnp.float32
+    r_tile = _row_tile(R, pool, C)
+    kernel = functools.partial(
+        _fwd_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dtype,
+        f32_dots=f32_dots,
+    )
+    vmem = min(
+        2 * r_tile * C * 4 + R * Cin * x.dtype.itemsize
+        + 3 * (r_tile // pool) * pool * C * 4 + (16 << 20),
+        120 << 20,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, R, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Cin, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((None, R, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nb, C), dtype),
+            jax.ShapeDtypeStruct((B, nb, C), dtype),
+            jax.ShapeDtypeStruct((B, nb, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, nb, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(x, w, bias.reshape(1, C), pen[..., None])
+    pmax, pmin, amax, amin, ssum, ssq = out
+    outs = (pmax, pmin, amax, amin, ssum[0], ssq[0])
+    return outs, (x, w, bias, amax, amin)
+
+
+def _bwd(pool, interpret, res, cots):
+    x, w, bias, amax, amin = res
+    dpmax, dpmin = cots[0], cots[1]
+    dssum, dssq = cots[4], cots[5]
+    B, R, Cin = x.shape
+    C = w.shape[1]
+    nb = R // pool
+    dtype = x.dtype
+    f32_dots = dtype == jnp.float32
+
+    def zero_like(c, proto):
+        # float0 / symbolic-zero cotangents from non-diff consumers
+        if c is None or (hasattr(c, "dtype") and c.dtype == jax.dtypes.float0):
+            return jnp.zeros(proto, jnp.float32)
+        return c.astype(jnp.float32)
+
+    dpmax = zero_like(dpmax, (B, nb, C))
+    dpmin = zero_like(dpmin, (B, nb, C))
+    dssum = zero_like(dssum, (C,)).reshape(1, C)
+    dssq = zero_like(dssq, (C,)).reshape(1, C)
+
+    xt = jnp.swapaxes(x, 1, 2)  # (B, Cin, R)
+    wt = jnp.swapaxes(w, 0, 1)  # (C, Cin)
+    r_tile = _row_tile(R, pool, C)
+    kernel = functools.partial(
+        _bwd_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dtype,
+        f32_dots=f32_dots,
+    )
+    vmem = min(
+        4 * r_tile * C * 4 + 2 * R * Cin * x.dtype.itemsize * 2
+        + 2 * Cin * C * 4 + (16 << 20),
+        120 << 20,
+    )
+    dx, dw, db = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, R, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, Cin, R), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Cin, C), lambda b: (0, 0)),
+            pl.BlockSpec((C, Cin), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, R, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Cin, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, R, Cin), dtype),
+            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Cin, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(x, xt, w, wt, bias.reshape(1, C), amax, amin, dpmax, dpmin, dssum, dssq)
+    return (
+        dx,
+        dw.astype(w.dtype),
+        db[0].astype(bias.dtype),
+        jnp.zeros((B, R), jnp.float32),
+    )
+
+
+def _fwd_vjp(x, w, bias, pen, pool, interpret):
+    return _fwd(x, w, bias, pen, pool, interpret)
+
+
+dense_pool_stats.defvjp(_fwd_vjp, _bwd)
+
+
+def dense_pool_stats_reference(x, w, bias, pen, pool):
+    """Unfused XLA oracle with identical semantics (tests + non-TPU path)."""
+    B, R, Cin = x.shape
+    C = w.shape[1]
+    if x.dtype == jnp.float32:
+        z = jnp.einsum("bri,ic->brc", x, w,
+                       preferred_element_type=jnp.float32) + bias
+    else:
+        # dtype-native like flax Dense: f32 MXU accumulation, bf16 result —
+        # a f32-preferred einsum would materialize a 2x-sized z before the
+        # cast (measured ~10 ms on the B=64 PointNet2 train step)
+        z = (jnp.einsum("bri,ic->brc", x, w) + bias).astype(x.dtype)
+    zf = z.astype(jnp.float32)
+    ssum = jnp.sum(zf, axis=(0, 1))
+    ssq = jnp.sum(zf * zf, axis=(0, 1))
+    z3 = z.reshape(B, R // pool, pool, C)
+    p3 = pen.reshape(B, R // pool, pool, 1).astype(x.dtype)
+    zmax = z3 - p3
+    zmin = z3 + p3
+    pmax = jnp.max(zmax, axis=2)
+    pmin = jnp.min(zmin, axis=2)
+    within = jnp.arange(pool, dtype=jnp.int32)[None, None, :, None]
+    amax = jnp.min(
+        jnp.where(zmax == pmax[:, :, None, :], within, pool), axis=2
+    ).astype(jnp.int32)
+    amin = jnp.min(
+        jnp.where(zmin == pmin[:, :, None, :], within, pool), axis=2
+    ).astype(jnp.int32)
+    return pmax, pmin, amax, amin, ssum, ssq
