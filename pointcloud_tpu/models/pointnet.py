@@ -258,6 +258,10 @@ class DenseBNMaxPool(nn.Module):
 
 
 def _use_fused_pool() -> bool:
+    import os
+
+    if os.environ.get("PCTPU_DISABLE_FUSED_POOL"):  # escape hatch / A-B runs
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:

@@ -12,8 +12,10 @@ reference utils.py:213-228): masked-out points neither compete as targets
 nor contribute to the point means.
 
 The pairwise distance matrix rides the MXU via the matmul expansion; for
-clouds too large to materialize (B, N, M), `pallas_kernels.min_sqdist`
-streams tiles flash-attention-style.
+clouds too large to materialize (B, N, M), the fused NN sweep
+(`pallas_kernels.nearest_neighbor_pallas`) streams tiles
+flash-attention-style, and `parallel.ring.ring_chamfer` shards points
+across chips.
 """
 
 from __future__ import annotations
