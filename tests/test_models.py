@@ -311,3 +311,36 @@ def test_bnmaxpool_matches_unfused(rng, train, final_relu, masked):
     gu = jax.grad(loss_u, argnums=(0, 1, 2))(x, scale, bias)
     for a, b in zip(gf, gu):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_localgrouper_std_matches_unbiased_oracle(rng):
+    """LocalGrouper's fused sum/sumsq std == the reference unbiased
+    torch.std-over-flattened formulation (pointmlp.py:174)."""
+    from pointcloud_tpu.models.pointmlp import LocalGrouper
+    from pointcloud_tpu.ops.fps import farthest_point_sample
+    from pointcloud_tpu.ops.geometry import group_neighbors, index_points
+
+    B, N, D, G, K = 2, 64, 8, 16, 4
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((B, N, D), dtype=np.float32))
+    lg = LocalGrouper(groups=G, kneighbors=K, normalize="anchor")
+    vs = lg.init(jax.random.PRNGKey(0), xyz, feats)
+    # non-trivial affine so the params matter
+    vs = {"params": {
+        "affine_alpha": jnp.full((1, 1, 1, D), 1.5, jnp.float32),
+        "affine_beta": jnp.full((1, 1, 1, D), -0.25, jnp.float32),
+    }}
+    _, grouped, _ = lg.apply(vs, xyz, feats)
+
+    # oracle: same grouping ops + the old two-pass unbiased-std math
+    fps_idx = farthest_point_sample(xyz, G)
+    new_xyz = index_points(xyz, fps_idx)
+    anchor = index_points(feats, fps_idx)
+    _, gfeats, _, _ = group_neighbors(xyz, feats, new_xyz, K, radius=None)
+    centered = np.asarray(gfeats) - np.asarray(anchor)[:, :, None, :]
+    flat = centered.reshape(B, -1).astype(np.float64)
+    std = flat.std(axis=-1, ddof=1)[:, None, None, None]
+    normed = centered / (std + 1e-5)
+    want = 1.5 * normed - 0.25
+    got = np.asarray(grouped)[..., :D]  # first D dims = normalized feats
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
