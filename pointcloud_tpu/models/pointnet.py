@@ -158,9 +158,7 @@ class DenseBNMaxPool(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None,
                  impl: str = "auto", interpret: bool = False):
-        from pointcloud_tpu.ops.dense_bn_pool import (
-            dense_pool_stats, dense_pool_stats_reference,
-        )
+        from pointcloud_tpu.ops.dense_bn_pool import dense_pool_stats
 
         C = self.features
         kernel = self.param(
