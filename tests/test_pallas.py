@@ -308,3 +308,24 @@ def test_sinkhorn_pallas_annealing(rng):
     )
     np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pal), atol=1e-6)
+
+
+def test_scatter_rows_pallas_fold_init(rng):
+    """fold=3 folds split-precision column groups in-kernel; init seeds the
+    output (the chamfer-backward configuration)."""
+    from pointcloud_tpu.ops.pallas_kernels import scatter_rows_pallas
+
+    B, R, C, n = 2, 32, 3, 16
+    g = jnp.asarray(rng.standard_normal((B, R, 3 * C)), dtype=jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (B, R)), dtype=jnp.int32)
+    init = jnp.asarray(rng.standard_normal((B, n, C)), dtype=jnp.float32)
+    out = np.asarray(
+        scatter_rows_pallas(g, idx, n, init=init, fold=3, interpret=True)
+    )
+    want = np.asarray(init).copy()
+    gn = np.asarray(g)
+    for b in range(B):
+        for r in range(R):
+            folded = gn[b, r, :C] + gn[b, r, C:2 * C] + gn[b, r, 2 * C:]
+            want[b, int(idx[b, r])] += folded
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
