@@ -98,7 +98,9 @@ class BNMaxPool(nn.Module):
             red = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=red)
-            var = jnp.mean(xf * xf, axis=red) - mean * mean
+            # clamp: E[x^2]-E[x]^2 can go slightly negative in fp32 for
+            # near-constant channels with large mean -> NaN through rsqrt
+            var = jnp.maximum(jnp.mean(xf * xf, axis=red) - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
@@ -232,7 +234,8 @@ class DenseBNMaxPool(nn.Module):
         if train:
             count = float(n_rows)
             mean = ssum / count
-            var = ssq / count - mean * mean
+            # clamp: fp32 cancellation guard (see BNMaxPool)
+            var = jnp.maximum(ssq / count - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean

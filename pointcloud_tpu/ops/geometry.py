@@ -104,6 +104,15 @@ def knn(
     if mask is not None:
         d = jnp.where(mask[..., None, :], d, _BIG)
     neg_d, idx = _select_k(-d, k, approx)
+    if mask is not None:
+        # Underfilled clouds (< k valid points): pad the empty slots with the
+        # nearest valid point instead of surfacing masked points — pins the
+        # same semantics as the fused Pallas kernel (grouped_gather), which
+        # substitutes the nearest valid point for those slots (ADVICE r2 #1;
+        # parity test: tests/test_geometry.py underfilled-mask case).
+        underfill = -neg_d >= _BIG
+        idx = jnp.where(underfill, idx[..., :1], idx)
+        neg_d = jnp.where(underfill, neg_d[..., :1], neg_d)
     return idx.astype(jnp.int32), -neg_d
 
 

@@ -263,6 +263,9 @@ def tqc(
             else DummyVecGoalEnv([env_fn] * n_envs)
         )
         obs_b, _ = venv.reset(seed=seed)
+        # warmup sampling reproducibility: the space pickled back from
+        # worker 0 is unseeded (the single-env path seeds env.action_space)
+        venv.action_space.seed(seed)
         pend = [[] for _ in range(n_envs)]  # per-env episodes for HER contiguity
         history, t0 = [], time.time()
         q_loss = jnp.zeros(())
@@ -301,8 +304,14 @@ def tqc(
                     buffer.end_episode()
                     pend[i] = []
             obs_b = obs2_b
-            t += n_envs
-            if t >= update_after and buffer.size > batch_size:
+            t_prev, t = t, t + n_envs
+            # same update pacing as the single-env path: run updates when t
+            # crosses an update_every boundary (not on every venv.step)
+            if (
+                t >= update_after
+                and buffer.size > batch_size
+                and t // update_every > t_prev // update_every
+            ):
                 q_loss = do_updates()
             if t >= next_epoch:
                 log_epoch(next_epoch - 1, q_loss, history, t0)

@@ -329,3 +329,34 @@ def test_scatter_rows_pallas_fold_init(rng):
             folded = gn[b, r, :C] + gn[b, r, C:2 * C] + gn[b, r, 2 * C:]
             want[b, int(idx[b, r])] += folded
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+
+def test_group_neighbors_knn_underfilled_mask_parity(rng):
+    """kNN with fewer valid points than k: both paths pad the underfilled
+    slots with the nearest valid point (pinned semantics, ADVICE r2 #1)."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    k = 8
+    xyz = jnp.asarray(rng.random((2, 32, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 32, 2), dtype=np.float32))
+    cents = jnp.asarray(rng.random((2, 4, 3), dtype=np.float32))
+    mask = np.zeros((2, 32), bool)
+    mask[:, :5] = True  # only 5 valid points < k=8
+    gx, gf, idx, valid = group_neighbors(
+        xyz, feats, cents, k, radius=None, mask=jnp.asarray(mask),
+        impl="pallas", interpret=True,
+    )
+    rx, rf, ridx, rvalid = group_neighbors(
+        xyz, feats, cents, k, radius=None, mask=jnp.asarray(mask),
+        impl="xla", approx=False,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
+    # no masked point ever surfaces
+    assert (np.asarray(idx) < 5).all()
+    # underfilled slots replicate slot 0 (the nearest valid point)
+    np.testing.assert_array_equal(
+        np.asarray(idx)[..., 5:], np.broadcast_to(
+            np.asarray(idx)[..., :1], np.asarray(idx)[..., 5:].shape)
+    )
