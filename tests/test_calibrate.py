@@ -93,3 +93,140 @@ def test_calibration_produces_threshold(setup, monkeypatch):
     loaded = enc2_env.unwrapped.encoder.latent_threshold
     np.testing.assert_allclose(loaded, threshold, atol=1e-6)
     enc2_env.close()
+
+
+# ---------------------------------------------------------------------------
+# fast scripted-fake tests of the calibration math (no training involved)
+# ---------------------------------------------------------------------------
+
+from gymnasium.spaces import Box
+
+
+class _FakeEncoder:
+    obs_keys = ["o"]
+    goal_keys = ["g"]
+
+    def __init__(self):
+        self.latent_threshold = np.zeros(2, np.float32)
+        self.saved = None
+
+    def get_goal_space(self, backend):
+        return Box(-np.inf, np.inf, (2,))
+
+    def save_latent_threshold(self, thr, before, during):
+        self.saved = (np.array(thr), before, during)
+
+
+class _FakePolicy:
+    def predict(self, obs, deterministic=True):
+        return np.zeros(2, np.float32), None
+
+
+class _FakeCalibEnv:
+    """Scripted env: GT success begins at succ_at[episode] (None = never);
+    latent |goal - achieved| is d0 outside success and d_dur during it."""
+
+    def __init__(self, succ_at, d0, d_dur, succ_at_reset=False):
+        self.succ_at = list(succ_at)
+        self.d0 = np.asarray(d0, np.float32)
+        self.d_dur = np.asarray(d_dur, np.float32)
+        self.succ_at_reset = succ_at_reset
+        self.encoder = _FakeEncoder()
+        self.backend = None
+        self.proprioception = np.zeros(1, np.float32)
+        self.unwrapped = self
+        self.ep = -1
+
+    def _latent(self):
+        d = self.d_dur if self._success() else self.d0
+        self.goal_encoding = d.copy()
+        self.achieved = np.zeros_like(d)
+
+    def _success(self):
+        if self.succ_at_reset and self.t < 0:
+            return True
+        ts = self.succ_at[self.ep]
+        return ts is not None and self.t >= ts
+
+    def reset(self):
+        self.ep += 1
+        self.t = -1
+        state = {"o": np.zeros(1, np.float32), "g": np.zeros(1, np.float32)}
+        self.goal_state = state
+        self.raw_state = state
+        self.observation = state
+        self._latent()
+        return {}, {}
+
+    def step(self, action):
+        self.t += 1
+        self._latent()
+        return {}, 0.0, False, False, {}
+
+    def check_success(self, achieved, goal, info=None, force_gt=False):
+        return self._success()
+
+    def close(self):
+        pass
+
+
+def _run(env, **kw):
+    from pointcloud_tpu.train.calibrate import latent_distributions
+
+    return latent_distributions(
+        "unused", _FakePolicy(), env=env, **kw
+    )
+
+
+def test_threshold_strictness_math():
+    """threshold = (1-s)*mean(before) + s*mean(during), per dim."""
+    d0, d_dur = [0.8, 0.4], [0.2, 0.1]
+    for s in (0.0, 0.3, 1.0):
+        env = _FakeCalibEnv([3, 5], d0, d_dur)
+        thr, before, during = _run(
+            env, horizon=10, runs=2, threshold_strictness=s, save=False,
+        )
+        want = (1 - s) * np.asarray(d0) + s * np.asarray(d_dur)
+        np.testing.assert_allclose(thr, want, atol=1e-6)
+        assert before.shape == (2, 2) and during.shape == (2, 2)
+        np.testing.assert_allclose(before, np.tile(d0, (2, 1)), atol=1e-6)
+        np.testing.assert_allclose(during, np.tile(d_dur, (2, 1)), atol=1e-6)
+
+
+def test_failed_episode_warns_and_is_excluded(capsys):
+    env = _FakeCalibEnv([2, None], [0.8, 0.4], [0.2, 0.1])
+    thr, before, during = _run(
+        env, horizon=8, runs=2, threshold_strictness=0.5, save=False,
+    )
+    out = capsys.readouterr().out
+    assert "WARNING: the policy failed in episode 1" in out
+    # the failed episode contributes to neither statistic
+    assert before.shape == (1, 2) and during.shape == (1, 2)
+    np.testing.assert_allclose(thr, 0.5 * np.array([0.8, 0.4])
+                               + 0.5 * np.array([0.2, 0.1]), atol=1e-6)
+
+
+def test_all_episodes_failed_returns_none(capsys):
+    env = _FakeCalibEnv([None, None], [0.8, 0.4], [0.2, 0.1])
+    thr, before, during = _run(
+        env, horizon=5, runs=2, save=True,
+    )
+    out = capsys.readouterr().out
+    assert thr is None
+    assert "No data to calculate threshold" in out
+    assert env.encoder.saved is None  # nothing persisted
+
+
+def test_success_at_reset_warns(capsys):
+    env = _FakeCalibEnv([0, 0], [0.8, 0.4], [0.2, 0.1], succ_at_reset=True)
+    _run(env, horizon=5, runs=1, save=False)
+    assert "success right after reset" in capsys.readouterr().out
+
+
+def test_threshold_saved_through_encoder():
+    env = _FakeCalibEnv([1], [0.6, 0.2], [0.2, 0.2])
+    thr, _, _ = _run(env, horizon=5, runs=1, threshold_strictness=0.3,
+                     save=True)
+    saved_thr, saved_before, saved_during = env.encoder.saved
+    np.testing.assert_allclose(saved_thr, thr, atol=1e-6)
+    assert saved_before.shape == (1, 2) and saved_during.shape == (1, 2)

@@ -102,3 +102,76 @@ def test_ring_chamfer_masked(rng, mesh8):
         )
     )
     assert abs(got - want) <= 1e-5, (got, want)
+
+
+def test_ring_sinkhorn_matches_dense(rng, mesh8):
+    """Point-sharded Sinkhorn == dense sinkhorn_match (same contract)."""
+    from pointcloud_tpu.ops.emd import sinkhorn_match
+    from pointcloud_tpu.parallel.ring import ring_sinkhorn_match
+
+    x = jnp.asarray(rng.random((2, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 64, 3), dtype=np.float32))
+    dd, da = sinkhorn_match(x, y, eps=0.02, iters=40)
+    rd, ra = ring_sinkhorn_match(x, y, eps=0.02, iters=40, mesh=mesh8)
+    # logsumexp accumulated shard-by-shard -> tiny fp drift; assignments
+    # should agree except at near-ties
+    agree = float(np.mean(np.asarray(da) == np.asarray(ra)))
+    assert agree >= 0.95, agree
+    same = np.asarray(da) == np.asarray(ra)
+    np.testing.assert_allclose(
+        np.asarray(rd)[same], np.asarray(dd)[same], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ring_sinkhorn_annealed(rng, mesh8):
+    from pointcloud_tpu.ops.emd import sinkhorn_match
+    from pointcloud_tpu.parallel.ring import ring_sinkhorn_match
+
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    dd, da = sinkhorn_match(x, y, eps=0.005, iters=30, anneal_from=0.1)
+    rd, ra = ring_sinkhorn_match(
+        x, y, eps=0.005, iters=30, anneal_from=0.1, mesh=mesh8
+    )
+    agree = float(np.mean(np.asarray(da) == np.asarray(ra)))
+    assert agree >= 0.95, agree
+
+
+def test_chamfer_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
+    """chamfer_distance auto-routes above RING_MIN_ELEMENTS (r2 weak #6)."""
+    from pointcloud_tpu.ops import chamfer as cham_mod
+
+    x = jnp.asarray(rng.random((2, 256, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 512, 3), dtype=np.float32))
+    want = float(chamfer_distance(x, y))
+    monkeypatch.setattr(cham_mod, "RING_MIN_ELEMENTS", 1000)
+    got = float(cham_mod.chamfer_distance(x, y))
+    assert abs(got - want) <= 1e-5
+    # per-batch reduction survives the dispatch
+    per = cham_mod.chamfer_distance(x, y, batch_reduction=None)
+    assert per.shape == (2,)
+    # masked semantics survive the dispatch
+    xm = jnp.asarray(rng.random((2, 256)) > 0.3)
+    ym = jnp.asarray(rng.random((2, 512)) > 0.3)
+    monkeypatch.setattr(cham_mod, "RING_MIN_ELEMENTS", 1 << 28)
+    want_m = float(chamfer_distance(x, y, x_mask=xm, y_mask=ym))
+    monkeypatch.setattr(cham_mod, "RING_MIN_ELEMENTS", 1000)
+    got_m = float(cham_mod.chamfer_distance(x, y, x_mask=xm, y_mask=ym))
+    assert abs(got_m - want_m) <= 1e-5
+
+
+def test_emd_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
+    from pointcloud_tpu.ops import chamfer as cham_mod
+    from pointcloud_tpu.ops.emd import emd_match
+
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    dd, da = emd_match(x, y, 0.02, 40)
+    monkeypatch.setattr(cham_mod, "RING_MIN_ELEMENTS", 1000)
+    rd, ra = emd_match(x, y, 0.02, 40)
+    agree = float(np.mean(np.asarray(da) == np.asarray(ra)))
+    assert agree >= 0.95, agree
+    # reference gradient contract survives: grad to x only, through the
+    # matched pair
+    g = jax.grad(lambda a: jnp.sum(emd_match(a, y, 0.02, 40)[0]))(x)
+    assert np.isfinite(np.asarray(g)).all()
