@@ -27,7 +27,11 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--mode", default="overlap", choices=["overlap", "side-by-side"])
     p.add_argument("--save_dir", default=None,
-                   help="headless: save one PNG per step here")
+                   help="headless: save one PNG per step here (no window)")
+    p.add_argument("--interactive", action="store_true",
+                   help="live window with the reference's key toggles: "
+                        "i = input cloud, o = reconstruction, v = markers, "
+                        "m = overlap/side-by-side (live_ae_viewer.py:16-194)")
     p.add_argument("--output_root", default="output")
     a = p.parse_args()
 
@@ -66,7 +70,8 @@ def main():
         os.makedirs(a.save_dir, exist_ok=True)
 
     obs, info = env.reset()
-    for t in range(a.steps):
+
+    def assemble_now():
         sensed = base.observation
         if "points" not in sensed:
             raise SystemExit("env has no vision sensor — use a Vision* env")
@@ -75,10 +80,18 @@ def main():
         target = in_pc if not spec.dict_target else {
             k: np.asarray(v) for k, v in base.raw_state.items()
         }
-        pred_xyz, pred_rgb, gt_xyz, gt_rgb = assemble_prediction(
+        return assemble_prediction(
             a.model, spec, variables, in_pc, target,
             class_colors=cfg_scene[base.scene]["class_colors"],
         )
+
+    if a.interactive and not a.save_dir:
+        _run_live_interactive(a, env, base, policy, gt_encoder, assemble_now)
+        env.close()
+        return
+
+    for t in range(a.steps):
+        pred_xyz, pred_rgb, gt_xyz, gt_rgb = assemble_now()
         save = os.path.join(a.save_dir, f"{t:04d}.png") if a.save_dir else None
         show_clouds(
             [(pred_xyz, pred_rgb, "prediction"), (gt_xyz, gt_rgb, "live cloud")],
@@ -106,6 +119,79 @@ def main():
         if te or tr:
             obs, info = env.reset()
     env.close()
+
+
+def _policy_action(env, base, obs, policy, gt_encoder):
+    if policy is not None:
+        if gt_encoder is not None:
+            gt_obs, gt_achieved = gt_encoder(base.raw_state)
+            pobs = {
+                "observation": np.concatenate(
+                    (base.proprioception, gt_obs), dtype=np.float32
+                ),
+                "achieved_goal": gt_achieved,
+                "desired_goal": gt_encoder.encode_goal(base.goal_state),
+            }
+        else:
+            pobs = obs
+        action, _ = policy.predict(pobs, deterministic=True)
+        return action
+    return env.action_space.sample()
+
+
+def _run_live_interactive(a, env, base, policy, gt_encoder, assemble_now):
+    """Reference live_ae_viewer loop: the env steps on a timer while keys
+    i/o/v toggle the input cloud / reconstruction / marker overlays and m
+    flips overlap vs side-by-side (live_ae_viewer.py:174-182)."""
+    import matplotlib.pyplot as plt
+
+    from pointcloud_tpu.viewers.interactive import ReconViewerCore
+
+    state = {"obs": None, "assembly": assemble_now()}
+    core = ReconViewerCore(
+        lambda _i: state["assembly"], n_items=max(a.steps, 1), mode=a.mode
+    )
+    core.show_input = False  # reference starts with input hidden (:37)
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    ax.set_title(f"{a.env} live — keys: i/o/v toggle, m mode")
+    holder = {"scatter": None, "t": 0, "obs": None}
+
+    def redraw():
+        xyz, rgb = core.frame()
+        if holder["scatter"] is not None:
+            holder["scatter"].remove()
+        holder["scatter"] = ax.scatter(
+            xyz[:, 0], xyz[:, 1], xyz[:, 2], c=rgb, s=2
+        )
+        fig.canvas.draw_idle()
+
+    def on_key(event):
+        if core.key(event.key or ""):
+            redraw()
+
+    def on_tick():
+        if holder["t"] >= a.steps:
+            plt.close(fig)
+            return
+        action = _policy_action(env, base, holder["obs"], policy, gt_encoder)
+        obs, r, te, tr, info = env.step(action)
+        if te or tr:
+            obs, info = env.reset()
+        holder["obs"] = obs
+        holder["t"] += 1
+        state["assembly"] = assemble_now()
+        core._load()
+        core.anim_t = 1.0  # live frames jump; no morph between env steps
+        redraw()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    timer = fig.canvas.new_timer(interval=100)
+    timer.add_callback(on_tick)
+    timer.start()
+    redraw()
+    plt.show()
 
 
 if __name__ == "__main__":

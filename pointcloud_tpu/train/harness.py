@@ -412,6 +412,27 @@ def shard_batch(mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_batch_global(mesh, batch, global_batch_size: int):
+    """Multi-host batch sharding: every process holds the SAME global batch
+    (identically seeded loaders); each keeps only its
+    process_local_batch_slice rows and the slices assemble into one global
+    jax.Array sharded over 'data' (SURVEY.md §2.3 multi-host DCN story)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pointcloud_tpu.parallel.distributed import process_local_batch_slice
+
+    sl = process_local_batch_slice(global_batch_size)
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x[sl], x.shape
+        )
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate(mesh, tree):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -438,12 +459,21 @@ def train(
     log_meshes: bool = True,
     data_parallel: bool = True,
     profile: bool = False,
+    multihost: bool = False,
 ):
     """Train a vision model (reference train.py:166-206).
 
     Expects input/{dataset_dir}/{train,val}/*.npz; writes TensorBoard logs +
     orbax checkpoints under output/{dataset_dir}/{Model}_{Backbone}/version_N.
     Returns (final train loss, checkpoint dir).
+
+    multihost=True: the process must already have joined the distributed
+    runtime (parallel.distributed.initialize(); train.py --multihost does
+    this before touching JAX). The mesh then spans every host's devices,
+    all hosts must run identically-seeded loaders (same `seed`), and each
+    host feeds only its process_local_batch_slice of every batch
+    (shard_batch_global). batch_size is the GLOBAL batch and must divide by
+    the global device count.
     """
     epochs = epochs or cfg.vision_epochs
     batch_size = batch_size or cfg.vision_batch_size
@@ -540,16 +570,35 @@ def train(
         start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
         print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
-    mesh = data_mesh(batch_size) if data_parallel else None
+    if multihost:
+        from pointcloud_tpu.parallel.distributed import global_mesh
+
+        assert batch_size % jax.device_count() == 0, (
+            f"global batch {batch_size} must divide the "
+            f"{jax.device_count()} global devices"
+        )
+        mesh = global_mesh(("data",))
+    else:
+        mesh = data_mesh(batch_size) if data_parallel else None
     if mesh is not None:
         params = replicate(mesh, params)
         batch_stats = replicate(mesh, batch_stats)
         opt_state = replicate(mesh, opt_state)
 
+    if mesh is None:
+        put_batch = lambda b: b  # noqa: E731
+    elif multihost:
+        put_batch = lambda b: shard_batch_global(mesh, b, batch_size)  # noqa: E731
+    else:
+        put_batch = lambda b: shard_batch(mesh, b)  # noqa: E731
+
     train_step = make_train_step(spec, tx)
     eval_step = make_eval_step(spec)
 
-    writer = _make_writer(run_dir)
+    # multihost: only process 0 writes TB logs / checkpoints (the dirs are
+    # typically on shared storage; every process still computes everything)
+    is_main = jax.process_index() == 0
+    writer = _make_writer(run_dir) if is_main else _make_writer(None)
     global_step = start_epoch * max(len(train_loader), 1)
     loss = jnp.float32(float("nan"))  # defined even if no epochs run
 
@@ -564,9 +613,7 @@ def train(
             if profile and global_step == 2:  # skip compile steps
                 profile_ctx = trace(os.path.join(run_dir, "profile"))
                 profile_ctx.__enter__()
-            batch = (x_raw, y_raw)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+            batch = put_batch((x_raw, y_raw))
             with step_timer:
                 params, batch_stats, opt_state, loss, logs = train_step(
                     params, batch_stats, opt_state, *batch
@@ -588,9 +635,7 @@ def train(
         # validation every epoch (Lightning default in the reference)
         val_losses = []
         for bi, (x_raw, y_raw) in enumerate(val_loader):
-            batch = (x_raw, y_raw)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+            batch = put_batch((x_raw, y_raw))
             vloss, vlogs, out = eval_step(params, batch_stats, *batch)
             val_losses.append(float(vloss))
             if bi == 0 and log_meshes and spec.model_type == "Autoencoder":
@@ -610,7 +655,7 @@ def train(
         # (the off-device transfer would otherwise stall the loop ~90 s per
         # save over the tunnel); throttled to every cfg.ckpt_every epochs
         # (+ always the final one)
-        if epoch % cfg.ckpt_every == 0 or epoch == epochs - 1:
+        if is_main and (epoch % cfg.ckpt_every == 0 or epoch == epochs - 1):
             save_checkpoint_async(
                 ckpt_dir,
                 epoch,
@@ -647,6 +692,8 @@ def _stack_peek(ds, n):
 
 def _make_writer(run_dir):
     try:
+        if run_dir is None:  # non-main multihost process
+            raise ImportError
         from torch.utils.tensorboard import SummaryWriter
 
         return SummaryWriter(run_dir)

@@ -149,3 +149,22 @@ def test_training_actually_learns(data_root, tmp_path):
         log_meshes=False,
     )
     assert loss < first_loss / 2, (loss, first_loss)
+
+
+def test_train_multihost_single_process(data_root, tmp_path):
+    """multihost=True on one process: global mesh over the 8 CPU devices,
+    shard_batch_global feeds the full process_local slice (= whole batch),
+    and the run produces a finite loss + checkpoint like the local path."""
+    # every batch (incl. val) must divide the 8 global devices
+    root = tmp_path / "input"
+    generate_dataset(str(root / "Cube" / "train"), scene="Cube", frames=16,
+                     seed=0, sample_points=N_PTS)
+    generate_dataset(str(root / "Cube" / "val"), scene="Cube", frames=8,
+                     seed=99, sample_points=N_PTS)
+    loss, ckpt_dir = train(
+        "Autoencoder", "PointNet", scene="Cube", epochs=2, batch_size=8,
+        input_root=str(root), output_root=str(tmp_path / "out"),
+        log_meshes=False, loss_override="chamfer", multihost=True,
+    )
+    assert np.isfinite(loss)
+    assert latest_checkpoint(ckpt_dir) is not None

@@ -122,3 +122,93 @@ def test_assemble_prediction_segmenter_and_multiseg(rng):
         scenes.cfg_scene["Cube"] = dict(
             scenes.cfg_scene["Cube"], sample_points=2048
         )
+
+
+# ---------------------------------------------------------------------------
+# interactive viewer core (reference ae_viewer key navigation + lerp
+# animation + live i/o/v toggles, driven headlessly)
+# ---------------------------------------------------------------------------
+
+
+def _mk_core(n=4, speed=0.5, mode="overlap"):
+    import numpy as np
+
+    from pointcloud_tpu.viewers.interactive import ReconViewerCore
+
+    def load(i):
+        pred = np.full((8, 3), float(i), np.float32)
+        gt = np.full((8, 3), float(i) + 100.0, np.float32)
+        col = np.full((8, 3), 0.5, np.float32)
+        return pred, col, gt, col
+
+    return ReconViewerCore(load, n, mode=mode, animation_speed=speed), load
+
+
+def test_interactive_navigation_wraps():
+    core, _ = _mk_core(n=3)
+    assert core.index == 0
+    core.key("right")
+    assert core.index == 1
+    core.key("left")
+    core.key("left")
+    assert core.index == 2  # wraps like the reference's python indexing
+
+
+def test_interactive_lerp_animation():
+    import numpy as np
+
+    core, _ = _mk_core(speed=0.5)
+    core.key("right")  # sample 0 -> 1; animation starts at t=0
+    assert core.anim_t == 0.0
+    xyz, _ = core.frame()
+    # prediction part (second half in overlap mode order: gt first) morphs
+    gt_part, pred_part = xyz[:8], xyz[8:]
+    np.testing.assert_allclose(pred_part, 0.0)   # t=0: still the old pred
+    np.testing.assert_allclose(gt_part, 101.0)   # gt jumps immediately
+    assert core.tick()
+    pred_mid = core.frame()[0][8:]
+    np.testing.assert_allclose(pred_mid, 0.5)    # halfway morph
+    assert core.tick()
+    assert not core.tick()                        # animation finished
+    np.testing.assert_allclose(core.frame()[0][8:], 1.0)
+
+
+def test_interactive_mode_and_toggles():
+    import numpy as np
+
+    core, _ = _mk_core(mode="overlap")
+    xyz, rgb = core.frame()
+    assert xyz.shape == (16, 3)
+    # overlap tints: gt toward green, pred toward red (30%)
+    np.testing.assert_allclose(rgb[0], [0.35, 0.65, 0.35], atol=1e-6)
+    np.testing.assert_allclose(rgb[8], [0.65, 0.35, 0.35], atol=1e-6)
+
+    core.key("m")  # side-by-side: +-0.3 shift on y, no tint
+    xyz2, rgb2 = core.frame()
+    np.testing.assert_allclose(xyz2[0, 1], 100.0 - 0.3, atol=1e-6)
+    np.testing.assert_allclose(xyz2[8, 1], 0.0 + 0.3, atol=1e-6)
+    np.testing.assert_allclose(rgb2[0], 0.5, atol=1e-6)
+
+    core.key("i")  # hide input/GT
+    assert core.frame()[0].shape == (8, 3)
+    core.key("o")  # hide prediction too
+    assert core.frame()[0].shape == (0, 3)
+    core.key("i")
+    core.key("o")
+    assert core.frame()[0].shape == (16, 3)
+
+
+def test_interactive_marker_part_toggle():
+    import numpy as np
+
+    from pointcloud_tpu.viewers.interactive import ReconViewerCore
+
+    def load(i):
+        z8 = np.zeros((8, 3), np.float32)
+        vis = np.ones((4, 3), np.float32)
+        return z8, z8, z8, z8, vis, vis
+
+    core = ReconViewerCore(load, 2)
+    assert core.frame()[0].shape == (20, 3)
+    core.key("v")
+    assert core.frame()[0].shape == (16, 3)

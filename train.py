@@ -6,6 +6,22 @@ Usage: python train.py <scene> <model> [--backbone PointNet2] [--epochs N]
 """
 
 import argparse
+import sys
+
+# --multihost must call jax.distributed.initialize() before anything
+# initializes the XLA backend — including importing pointcloud_tpu (env
+# registration touches the backend), so peek at argv before importing.
+if "--multihost" in sys.argv:
+    import importlib.util as _ilu
+    import os as _os
+
+    _spec = _ilu.spec_from_file_location(
+        "_dist", _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                               "pointcloud_tpu", "parallel", "distributed.py")
+    )
+    _dist = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_dist)
+    print(f"multihost: joined={_dist.initialize()}")
 
 from pointcloud_tpu import cfg
 from pointcloud_tpu.train import train
@@ -28,6 +44,12 @@ def main():
     parser.add_argument("--output_root", default="output", type=str)
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler device trace of steps 2-5")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join the jax.distributed runtime (coordinator "
+                             "from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES"
+                             " / JAX_PROCESS_ID env vars or cloud "
+                             "auto-detection) and train data-parallel over "
+                             "every host's devices; batch_size is global")
     a = parser.parse_args()
 
     import jax
@@ -45,6 +67,7 @@ def main():
         output_root=a.output_root,
         loss_override=a.loss,
         profile=a.profile,
+        multihost=a.multihost,
     )
 
 
