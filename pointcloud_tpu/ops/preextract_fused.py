@@ -64,8 +64,11 @@ EPS = 1e-5
 
 
 def _row_tile(rows: int, pool: int, C: int) -> int:
-    """Largest multiple of `pool` dividing `rows` with tile*C <= ~1M el."""
-    bpt = max(1, (1024 * 1024) // max(C * pool, 1))
+    """Largest multiple of `pool` dividing `rows` with tile*C <= ~512K el
+    (the backward pass holds ~12 live f32 tiles on the Mosaic scoped stack;
+    512K el * 4 B * 12 ~= 24 MB leaves pipeline headroom under the VMEM
+    cap)."""
+    bpt = max(1, (512 * 1024) // max(C * pool, 1))
     bpt = min(bpt, rows // pool)
     while (rows // pool) % bpt:
         bpt -= 1
@@ -190,9 +193,18 @@ def _bnact_mm_stats_kernel(*refs, rows, r_tile, dtype, f32_dots, res_mode,
     ssq_ref[:, :] += q
 
 
-def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode):
+_SENT = -1e9  # all-masked-group sentinel (models/pointnet.py masked_max)
+
+
+def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked):
     """v = BN(h_last) + res (PRE-relu, f32); out = relu(max_pool(v));
-    lowest-index argmax + gathered h_last rows for the backward."""
+    lowest-index argmax + gathered h_last rows for the backward.
+
+    masked=True (plain/SetAbstraction mode): a (rows, 1) penalty ref (+BIG
+    on invalid rows) excludes rows from the pool (stats upstream still saw
+    them — the documented BN/mask contract); all-masked groups emit the
+    masked_max sentinel (and get zero gradient via the maxv>0 relu gate).
+    """
     i = 0
     h_ref = refs[i]; i += 1
     sc_ref = refs[i]; i += 1
@@ -201,6 +213,8 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode):
         scb_ref = refs[i]; i += 1
     elif res_mode == RES_DENSE:
         rd_ref = refs[i]; i += 1
+    if masked:
+        pen_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     maxv_ref = refs[i]; i += 1
     amax_ref = refs[i]; i += 1
@@ -219,6 +233,8 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode):
             v = v + jnp.maximum(rb, 0.0)
         elif res_mode == RES_DENSE:
             v = v + rd_ref[sl, :].astype(jnp.float32)
+        if masked:
+            v = v - pen_ref[sl, :]
         v3 = v.reshape(bpt, pool, C)
         mx = jnp.max(v3, axis=1)  # (bpt, C) f32
         amx = jnp.min(
@@ -227,7 +243,12 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode):
         h3 = hf.reshape(bpt, pool, C)
         hsel = jnp.sum(jnp.where(within == amx[:, None, :], h3, 0.0), axis=1)
         off = t * bpt
-        out_ref[pl.ds(off, bpt), :] = jnp.maximum(mx, 0.0).astype(dtype)
+        out = jnp.maximum(mx, 0.0)
+        if masked:
+            # all-masked groups: keep the sentinel, not relu's 0
+            out = jnp.where(mx < jnp.float32(0.5 * _SENT), jnp.float32(_SENT),
+                            out)
+        out_ref[pl.ds(off, bpt), :] = out.astype(dtype)
         maxv_ref[pl.ds(off, bpt), :] = mx
         amax_ref[pl.ds(off, bpt), :] = amx
         hsel_ref[pl.ds(off, bpt), :] = hsel
@@ -377,16 +398,18 @@ def _bwd_pass_kernel(*refs, rows, pool, r_tile, dtype, f32_dots,
 # ---------------------------------------------------------------------------
 
 
-def _layer_res_cfg(u: int, L: int):
+def _layer_res_cfg(u: int, L: int, residual: bool = True):
     """Residual structure of layer u's input a_in(u) = relu(pre_{u-1}).
 
     Returns (res_mode, aux) where aux is None, 'h0' (RES_BNRELU source), or
-    an int index into the stored-residual list (RES_DENSE). Layer layout:
-    0 = embed, odd = block expand, even>0 = block project; block j's input
-    is s_1 = relu(BN0(h0)) for j=1 and r_{j-1} for j>1, with
-    r_j = relu(BN(h_proj_j) + input_of_block_j).
+    an int index into the stored-residual list (RES_DENSE). Layer layout
+    (residual=True, PreExtraction): 0 = embed, odd = block expand,
+    even>0 = block project; block j's input is s_1 = relu(BN0(h0)) for j=1
+    and r_{j-1} for j>1, with r_j = relu(BN(h_proj_j) + input_of_block_j).
+    residual=False (plain chain, SetAbstraction): every layer input is just
+    relu(BN(h_{u-1})).
     """
-    if u % 2 == 1:
+    if residual and u % 2 == 1:
         j = (u + 1) // 2
         if j == 1:
             return RES_NONE, None
@@ -419,11 +442,14 @@ def _affine_scalars(ssum, ssq, gamma, beta, n):
     )
 
 
-def _forward(x, ws, gammas, betas, pool, interpret):
+def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
     B, R, Cin = x.shape
     L = len(ws)
     blocks = (L - 1) // 2
-    assert L == 1 + 2 * blocks and blocks >= 1
+    if residual:
+        assert L == 1 + 2 * blocks and blocks >= 1
+    else:
+        assert L >= 1 and pen is not None
     assert R % pool == 0
     dt = x.dtype
     isz = jnp.dtype(dt).itemsize
@@ -450,7 +476,9 @@ def _forward(x, ws, gammas, betas, pool, interpret):
             jax.ShapeDtypeStruct((1, C0), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem(4 * R * max(Cin, C0) * isz)
+            vmem_limit_bytes=_vmem(
+                6 * r_tile * max(Cin, C0) * 4 + 4 * R * max(Cin, C0) * isz
+            )
         ),
         interpret=interpret,
     )(x, ws_c[0])
@@ -461,8 +489,8 @@ def _forward(x, ws, gammas, betas, pool, interpret):
     for u in range(1, L):
         Cd = ws[u].shape[0]
         Cu = ws[u].shape[1]
-        res_mode, aux = _layer_res_cfg(u, L)
-        write_r = u % 2 == 1 and (u + 1) // 2 >= 2
+        res_mode, aux = _layer_res_cfg(u, L, residual)
+        write_r = residual and u % 2 == 1 and (u + 1) // 2 >= 2
         ins = [hs[u - 1], scs[u - 1]]
         in_specs = [_bspec(R, Cd), _cspec(4, Cd)]
         if res_mode == RES_BNRELU:
@@ -495,7 +523,10 @@ def _forward(x, ws, gammas, betas, pool, interpret):
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem(8 * R * max(Cd, Cu) * isz)
+                vmem_limit_bytes=_vmem(
+                    8 * r_tile * max(Cd, Cu) * 4
+                    + 8 * R * max(Cd, Cu) * isz
+                )
             ),
             interpret=interpret,
         )(*ins)
@@ -511,20 +542,26 @@ def _forward(x, ws, gammas, betas, pool, interpret):
     # pool pass
     CL = ws[-1].shape[1]
     nb = R // pool
-    pool_res = RES_BNRELU if blocks == 1 else RES_DENSE
+    if residual:
+        pool_res = RES_BNRELU if blocks == 1 else RES_DENSE
+    else:
+        pool_res = RES_NONE
     ins = [hs[-1], scs[-1]]
     in_specs = [_bspec(R, CL), _cspec(4, CL)]
     if pool_res == RES_BNRELU:
         ins += [hs[0], scs[0]]
         in_specs += [_bspec(R, ws[0].shape[1]), _cspec(4, ws[0].shape[1])]
-    else:
+    elif pool_res == RES_DENSE:
         ins.append(rs[blocks - 2])
         in_specs.append(_bspec(R, CL))
+    if not residual:
+        ins.append(pen.reshape(B, R, 1).astype(jnp.float32))
+        in_specs.append(_bspec(R, 1))
     r_tile = _row_tile(R, pool, CL)
     out, maxv, amax, hsel = pl.pallas_call(
         functools.partial(
             _bn_respool_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dt,
-            res_mode=pool_res,
+            res_mode=pool_res, masked=not residual,
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -538,7 +575,7 @@ def _forward(x, ws, gammas, betas, pool, interpret):
             jax.ShapeDtypeStruct((B, nb, CL), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem(6 * R * CL * isz)
+            vmem_limit_bytes=_vmem(8 * r_tile * CL * 4 + 6 * R * CL * isz)
         ),
         interpret=interpret,
     )(*ins)
@@ -571,7 +608,7 @@ def _zero_cot(c, shape):
     return c.astype(jnp.float32)
 
 
-def _bwd_vjp(pool, interpret, saved, cots):
+def _bwd_vjp(pool, interpret, saved, cots, residual=True):
     x, ws, gammas, betas, hs, rs, maxv, amax, hsel, stats = saved
     dout, dstats = cots
     B, R, Cin = x.shape
@@ -651,10 +688,10 @@ def _bwd_vjp(pool, interpret, saved, cots):
         in_specs.append(_cspec(Cu, Cd))
 
         if down_bn:
-            res_mode, aux = _layer_res_cfg(u, L)
-            j = (u + 1) // 2 if u % 2 == 1 else None
-            skip_pool = u % 2 == 1 and j == blocks
-            skip_dense = u % 2 == 1 and j < blocks
+            res_mode, aux = _layer_res_cfg(u, L, residual)
+            j = (u + 1) // 2 if (residual and u % 2 == 1) else None
+            skip_pool = j is not None and j == blocks
+            skip_dense = j is not None and j < blocks
             ins += [hs[u - 1], scs[u - 1]]
             in_specs += [_bspec(R, Cd), _cspec(4, Cd)]
             if res_mode == RES_BNRELU:
@@ -700,7 +737,12 @@ def _bwd_vjp(pool, interpret, saved, cots):
             out_shape=tuple(out_shape),
             scratch_shapes=[pltpu.VMEM((Cd, Cu), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem(12 * R * max(Cd, Cu) * isz)
+                # stack: ~14 live f32 (r_tile, C) temporaries; io: the
+                # per-b (R, C) pipeline blocks, double-buffered
+                vmem_limit_bytes=_vmem(
+                    14 * r_tile * max(Cd, Cu) * 4
+                    + 12 * R * max(Cd, Cu) * isz
+                )
             ),
             interpret=interpret,
         )(*ins)
@@ -796,4 +838,91 @@ def preextract_pool_reference(x, ws, gammas, betas, pool):
     am = jnp.argmax(v4, axis=2)  # first occurrence = lowest index
     mx = jnp.take_along_axis(v4, am[:, :, None, :], axis=2)[:, :, 0, :]
     out = relu(mx).astype(dt)
+    return out, tuple(stats)
+
+
+# ---------------------------------------------------------------------------
+# plain-chain variant: Dense+BN+ReLU stack + masked K-pool (SetAbstraction)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def mlp_pool_fused(x, ws, gammas, betas, pen, pool, interpret=False):
+    """SetAbstraction body as the fused chain (reference
+    pointnet2_utils.py:167-208): L plain Dense+BN+ReLU layers over the
+    grouped rows, then a masked max-pool over each `pool`-row group.
+
+    x (B, R, Cin) with R = S*pool (grouped neighborhoods flattened);
+    pen (B, R) f32 — +BIG on rows excluded from the pool (out-of-ball
+    padding; they still feed BN statistics, the documented mask contract).
+    All-masked groups emit the masked_max sentinel (-1e9) and receive no
+    gradient. Returns (pooled (B, R//pool, C_last), per-layer (ssum, ssq)).
+    """
+    return _forward(
+        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen
+    )[0]
+
+
+def _mlp_fwd_vjp(x, ws, gammas, betas, pen, pool, interpret):
+    out, saved = _forward(
+        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen
+    )
+    return out, (saved, x.shape[:2])
+
+
+def _mlp_bwd_vjp(pool, interpret, res, cots):
+    saved, (B, R) = res
+    dx, dws, dgs, dbs = _bwd_vjp(pool, interpret, saved, cots,
+                                 residual=False)
+    return dx, dws, dgs, dbs, jnp.zeros((B, R), jnp.float32)
+
+
+mlp_pool_fused.defvjp(_mlp_fwd_vjp, _mlp_bwd_vjp)
+
+
+def mlp_pool_reference(x, ws, gammas, betas, pen, pool):
+    """XLA oracle of mlp_pool_fused (identical op-for-op semantics)."""
+    B, R, Cin = x.shape
+    L = len(ws)
+    dt = x.dtype
+    n = float(B * R)
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+    def dense(a, w):
+        z = jax.lax.dot_general(
+            a, w.astype(dt),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
+        zf = z.astype(jnp.float32)
+        return z, jnp.sum(zf, axis=(0, 1)), jnp.sum(zf * zf, axis=(0, 1))
+
+    def bn_pre(h, ss, sq, g, b):
+        mean = ss / n
+        var = jnp.maximum(sq / n - mean * mean, 0.0)
+        rsig = jax.lax.rsqrt(var + EPS)
+        return (h.astype(jnp.float32) - mean) * (
+            rsig * g.astype(jnp.float32)
+        ) + b.astype(jnp.float32)
+
+    def relu(v):
+        return jnp.where(v > 0.0, v, 0.0)
+
+    h, ss, sq = dense(x, ws[0])
+    stats = [(ss, sq)]
+    pre = bn_pre(h, ss, sq, gammas[0], betas[0])
+    for u in range(1, L):
+        a = relu(pre).astype(dt)
+        h, ss, sq = dense(a, ws[u])
+        stats.append((ss, sq))
+        pre = bn_pre(h, ss, sq, gammas[u], betas[u])
+
+    v = pre - pen.astype(jnp.float32)[..., None]
+    nb = R // pool
+    CL = ws[-1].shape[1]
+    v4 = v.reshape(B, nb, pool, CL)
+    am = jnp.argmax(v4, axis=2)
+    mx = jnp.take_along_axis(v4, am[:, :, None, :], axis=2)[:, :, 0, :]
+    out = relu(mx)
+    out = jnp.where(mx < 0.5 * _SENT, _SENT, out).astype(dt)
     return out, tuple(stats)

@@ -176,3 +176,123 @@ def test_module_eval_uses_running_stats(rng):
     oev = mod.apply(vs, x, train=False)
     np.testing.assert_allclose(np.asarray(oev), np.asarray(otr),
                                rtol=1e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# plain-chain variant (SetAbstraction body): Dense+BN+ReLU stack + masked
+# K-pool
+# ---------------------------------------------------------------------------
+
+from pointcloud_tpu.ops.preextract_fused import (
+    mlp_pool_fused,
+    mlp_pool_reference,
+)
+
+PLAIN_LAYOUT = [(9, 16), (16, 16), (16, 24)]
+
+
+def _plain_inputs(rng, B=2, R=48, masked=True, dtype=jnp.float32):
+    ws, gs, bs = _make_params(rng, PLAIN_LAYOUT)
+    x = jnp.asarray(
+        rng.standard_normal((B, R, 9)).astype(np.float32)
+    ).astype(dtype)
+    if masked:
+        pen = jnp.asarray(
+            np.where(rng.random((B, R)) < 0.3, 1e9, 0.0).astype(np.float32)
+        )
+    else:
+        pen = jnp.zeros((B, R), jnp.float32)
+    return x, ws, gs, bs, pen
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_plain_chain_matches_oracle(rng, dtype):
+    x, ws, gs, bs, pen = _plain_inputs(rng, dtype=dtype)
+    out, stats = mlp_pool_fused(x, ws, gs, bs, pen, 4, True)
+    rout, rstats = mlp_pool_reference(x, ws, gs, bs, pen, 4)
+    tol = 1e-5 if dtype == jnp.float32 else 1e-2
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(rout, dtype=np.float32), rtol=tol, atol=tol,
+    )
+    stol = 1e-5 if dtype == jnp.float32 else 5e-3
+    for (ss, sq), (rss, rsq) in zip(stats, rstats):
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(rss),
+                                   rtol=stol, atol=stol)
+
+
+def test_plain_chain_all_masked_group_sentinel(rng):
+    x, ws, gs, bs, _ = _plain_inputs(rng, masked=False)
+    pen = np.zeros((2, 48), np.float32)
+    pen[0, 0:4] = 1e9  # group 0 of batch 0 fully masked
+    out, _ = mlp_pool_fused(x, ws, gs, bs, jnp.asarray(pen), 4, True)
+    assert (np.asarray(out)[0, 0] == -1e9).all()
+    assert np.isfinite(np.asarray(out)[0, 1:]).all()
+    # masked groups get zero gradient
+    g = jax.grad(
+        lambda x: jnp.sum(mlp_pool_fused(x, ws, gs, bs, jnp.asarray(pen),
+                                         4, True)[0][0, 1:])
+    )(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_plain_chain_grad_matches_oracle(rng):
+    x, ws, gs, bs, pen = _plain_inputs(rng)
+    cw = jnp.asarray(rng.standard_normal((2, 12, 24)).astype(np.float32))
+    # only weight finite outputs (sentinel rows are constants)
+    def loss(fn):
+        def f(x, ws, gs, bs):
+            out, _ = fn(x, ws, gs, bs, pen, 4)
+            return jnp.sum(jnp.where(out > -1e8, out * cw, 0.0))
+        return f
+
+    gf = jax.grad(loss(lambda *a: mlp_pool_fused(*a, True)),
+                  argnums=(0, 1, 2, 3))(x, ws, gs, bs)
+    gr = jax.grad(loss(mlp_pool_reference), argnums=(0, 1, 2, 3))(
+        x, ws, gs, bs
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_set_abstraction_fused_matches_reference_path(rng):
+    """SetAbstraction: the fused chain (interpret mode) on the module's
+    extracted params — exactly what the train-on-TPU branch runs — matches
+    both the op-level oracle and the module's oracle path."""
+    import pointcloud_tpu.models.pointnet2 as pn2
+    from pointcloud_tpu.ops.geometry import sample_and_group
+    from pointcloud_tpu.ops.preextract_fused import (
+        mlp_pool_fused, mlp_pool_reference,
+    )
+
+    B, N = 2, 64
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    mod = pn2.SetAbstraction(npoint=16, radius=0.3, nsample=8,
+                             mlp=(16, 16, 24))
+    vs = mod.init(jax.random.PRNGKey(0), xyz, feats, train=True)
+
+    new_xyz, grouped, gmask, new_mask = sample_and_group(
+        16, 0.3, 8, xyz, feats, mask=None
+    )
+    Bs, S, K, Cin = grouped.shape
+    ws = tuple(vs["params"][f"w{i}"] for i in range(3))
+    gs = tuple(vs["params"][f"scale{i}"] for i in range(3))
+    os_ = tuple(vs["params"][f"offset{i}"] for i in range(3))
+    xr = grouped.reshape(Bs, S * K, Cin)
+    pen = jnp.where(gmask.reshape(Bs, S * K), 0.0, jnp.float32(1e9))
+    fo, fstats = mlp_pool_fused(xr, ws, gs, os_, pen, K, True)
+    ro, rstats = mlp_pool_reference(xr, ws, gs, os_, pen, K)
+    np.testing.assert_allclose(np.asarray(fo), np.asarray(ro),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the module's oracle path output equals the op-level oracle
+    (nx, out, nm), _ = mod.apply(
+        vs, xyz, feats, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ro),
+                               rtol=1e-5, atol=1e-5)
