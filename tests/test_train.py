@@ -168,3 +168,40 @@ def test_train_multihost_single_process(data_root, tmp_path):
     )
     assert np.isfinite(loss)
     assert latest_checkpoint(ckpt_dir) is not None
+
+
+def test_pointmlp_backbone_trains(tmp_path, monkeypatch):
+    """PointMLPElite AE through the full harness (the restructured
+    PreExtraction param tree round-trips init -> step -> checkpoint).
+    Needs >=384 points: the 4 stages halve the cloud and stage 4's kNN
+    requires k=24 <= N/16 (the reference has the same constraint)."""
+    from pointcloud_tpu.envs import scenes
+
+    n = 384
+    monkeypatch.setitem(
+        scenes.cfg_scene, "Cube",
+        dict(scenes.cfg_scene["Cube"], sample_points=n),
+    )
+    root = tmp_path / "input"
+    generate_dataset(str(root / "Cube" / "train"), scene="Cube", frames=8,
+                     seed=0, sample_points=n)
+    generate_dataset(str(root / "Cube" / "val"), scene="Cube", frames=4,
+                     seed=9, sample_points=n)
+    loss, ckpt_dir = train(
+        "Autoencoder", "PointMLPE", scene="Cube", epochs=1, batch_size=4,
+        input_root=str(root), output_root=str(tmp_path / "out"),
+        log_meshes=False, loss_override="chamfer",
+    )
+    assert np.isfinite(loss)
+    assert latest_checkpoint(ckpt_dir) is not None
+
+
+def test_pointnet2_backbone_trains(data_root, tmp_path):
+    """PointNet2 AE through the full harness (restructured SetAbstraction
+    param tree)."""
+    loss, ckpt_dir = _run(
+        "Autoencoder", "PointNet2", data_root, str(tmp_path),
+        loss_override="chamfer",
+    )
+    assert np.isfinite(loss)
+    assert latest_checkpoint(ckpt_dir) is not None
