@@ -68,7 +68,7 @@ def ring_eligible(B: int, N: int, M: int) -> bool:
 def _nn_forward(x, y, xw, yw):
     """(min_x, amin_x, min_y, amin_y): nearest-valid-counterpart squared
     distances + indices. Pallas fused sweep on TPU, dense XLA elsewhere."""
-    if _use_pallas() and x.shape[1] % 64 == 0 and x.shape[-1] == 3:
+    if _use_pallas() and x.shape[1] % 64 == 0 and x.shape[-1] <= 8:
         from pointcloud_tpu.ops.pallas_kernels import nearest_neighbor_pallas
 
         return nearest_neighbor_pallas(x, y, x_mask=xw > 0.5, y_mask=yw > 0.5)
@@ -186,7 +186,7 @@ def masked_chamfer(
     method: 'matmul' (fused Pallas sweep on TPU / MXU expansion elsewhere)
     or 'direct' (exact squared-difference reference path).
     """
-    if method == "direct" or x.shape[-1] != 3:
+    if method == "direct" or x.shape[-1] > 8:
         d = pairwise_sqdist(x, y, method=method)  # (B, N, M)
         d_for_x = d if y_mask is None else jnp.where(y_mask[:, None, :], d, _BIG)
         d_for_y = d if x_mask is None else jnp.where(x_mask[:, :, None], d, _BIG)

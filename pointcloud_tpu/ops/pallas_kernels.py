@@ -196,10 +196,12 @@ def _nn_kernel(xa_ref, yb_ref, s2_ref, d2_ref,
 
     Row tiles of the cost matrix are reconstructed in VMEM from pre-split
     bf16 operands and reduced twice on the fly:
-      C_tile = s2 + d2 - 2 * (xa_tile @ yb)   [one K=12 MXU dot]
+      C_tile = s2 + d2 - 2 * (xa_tile @ yb)   [one K=4*C MXU dot]
     where xa = [x_hi, x_lo, x_hi, x_lo] and yb = [y_hi; y_hi; y_lo; y_lo]
     reconstruct the fp32 cross term to ~2^-17 relative error (split-bf16:
-    hi*hi + lo*hi + hi*lo + lo*lo, fp32 accumulation). Validity masks are
+    hi*hi + lo*hi + hi*lo + lo*lo, fp32 accumulation). C is the point
+    dimensionality (3 for xyz-only, up to 8 for xyz+features chamfer —
+    the reference's plain ChamferDistance matches over ALL dims). Validity masks are
     pre-folded into s2/d2 as +BIG penalties by the caller, so no per-tile
     masking passes are needed. Both selection and the returned values use
     the ~3e-5-accurate C (zero-mean error — see the wrapper docstring for
@@ -216,7 +218,7 @@ def _nn_kernel(xa_ref, yb_ref, s2_ref, d2_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 0)
     d2 = d2_ref[:, :]  # (1, M), +BIG on invalid y
-    yb = yb_ref[:, :]  # (12, M) bf16
+    yb = yb_ref[:, :]  # (4C, M) bf16
 
     def c_tile(i):
         cross = jax.lax.dot_general(
@@ -282,9 +284,11 @@ def nearest_neighbor_pallas(
     y_mask: jax.Array | None = None,
     interpret: bool = False,
 ):
-    """x (B, N, 3), y (B, M, 3) -> (min_x (B,N), amin_x (B,N) i32,
+    """x (B, N, C), y (B, M, C) -> (min_x (B,N), amin_x (B,N) i32,
     min_y (B,M), amin_y (B,M) i32): squared distance + index of each point's
-    nearest valid counterpart. Masked points receive >=BIG distances.
+    nearest valid counterpart over all C dims (C <= 8; the packed split
+    operands stay within one 32-lane MXU K-pass). Masked points receive
+    >=BIG distances.
 
     Distances come from a split-bf16 MXU reconstruction of C: per-point
     error <= ~3e-5 absolute for unit-cube clouds (zero-mean, so batch-mean
@@ -296,20 +300,20 @@ def nearest_neighbor_pallas(
     values for the selected pair recompute them from the indices (the
     chamfer VJP does exactly this).
     """
-    B, N, _ = x.shape
+    B, N, C = x.shape
     M = y.shape[1]
     tile = 512
     while N % tile:
         tile //= 2
     BIG = jnp.float32(1e10)
-    x = x[..., :3].astype(jnp.float32)
-    y = y[..., :3].astype(jnp.float32)
-    yt = jnp.swapaxes(y, 1, 2)  # (B, 3, M)
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    yt = jnp.swapaxes(y, 1, 2)  # (B, C, M)
 
     x_hi, x_lo = _split_bf16(x)
     y_hi, y_lo = _split_bf16(yt)
-    xa = jnp.concatenate([x_hi, x_lo, x_hi, x_lo], axis=-1)  # (B, N, 12)
-    yb = jnp.concatenate([y_hi, y_hi, y_lo, y_lo], axis=1)  # (B, 12, M)
+    xa = jnp.concatenate([x_hi, x_lo, x_hi, x_lo], axis=-1)  # (B, N, 4C)
+    yb = jnp.concatenate([y_hi, y_hi, y_lo, y_lo], axis=1)  # (B, 4C, M)
 
     s2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, N, 1)
     d2 = jnp.sum(yt * yt, axis=1, keepdims=True)  # (B, 1, M)
@@ -323,8 +327,8 @@ def nearest_neighbor_pallas(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((None, N, 12), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, 12, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, N, 4 * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 4 * C, M), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, 1, M), lambda b: (b, 0, 0)),
         ],
@@ -549,6 +553,9 @@ def scatter_rows_pallas(g: jax.Array, idx: jax.Array, n: int,
     B, rows, Cg = g.shape
     C = Cg // fold
     idxt = idx.reshape(B, 1, rows).astype(jnp.int32)
+    # r_tile=512 measured equal to 2048 at the chamfer-VJP shapes
+    # (benchmarks/chamfer_bwd_profile.py) — grid-step overhead is not the
+    # bottleneck; keep the smaller tile for VMEM headroom.
     r_tile = 512
     while rows % r_tile:
         r_tile //= 2

@@ -110,3 +110,46 @@ def test_nn_bwd_pallas_segsum_matches_scatter(rng):
     )
     np.testing.assert_allclose(np.asarray(dx_pal), np.asarray(dx_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dy_pal), np.asarray(dy_ref), atol=1e-5)
+
+
+def test_chamfer_full_dim_parity_and_grad(rng):
+    """6-dim chamfer (reference ChamferDistance matches over ALL dims,
+    utils.py:209-211) rides the same fused/VJP path as xyz-only: value
+    parity vs the torch oracle and gradients matching autodiff through the
+    dense min (the production AE+chamfer config trains on (B, N, 6))."""
+    x = rng.random((2, 128, 6), dtype=np.float32)
+    y = rng.random((2, 128, 6), dtype=np.float32)
+    want = torch_chamfer(x, y)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    got = float(chamfer_distance(xj, yj))
+    assert abs(got - want) <= 1e-5, (got, want)
+
+    g = jax.grad(lambda a: chamfer_distance(a, yj))(xj)
+    g_dense = jax.grad(
+        lambda a: chamfer_distance(a, yj, method="direct")
+    )(xj)
+    assert np.allclose(np.asarray(g), np.asarray(g_dense), atol=1e-5)
+
+
+def test_nn_pallas_interpret_6dim(rng):
+    """Interpret-mode check of the generalized (C=6) fused NN sweep."""
+    from pointcloud_tpu.ops.geometry import pairwise_sqdist, _BIG
+    from pointcloud_tpu.ops.pallas_kernels import nearest_neighbor_pallas
+
+    x = jnp.asarray(rng.random((2, 256, 6), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 192, 6), dtype=np.float32))
+    xm = jnp.asarray(rng.random((2, 256)) > 0.1)
+    ym = jnp.asarray(rng.random((2, 192)) > 0.1)
+    minx, aminx, miny, aminy = nearest_neighbor_pallas(
+        x, y, xm, ym, interpret=True
+    )
+    d = pairwise_sqdist(x, y)
+    dx = jnp.where(ym[:, None, :], d, _BIG)
+    dy = jnp.where(xm[:, :, None], d, _BIG)
+    assert float(jnp.max(jnp.abs(
+        jnp.where(xm, minx - jnp.min(dx, 2), 0.0)))) <= 1e-4
+    assert float(jnp.max(jnp.abs(
+        jnp.where(ym, miny - jnp.min(dy, 1), 0.0)))) <= 1e-4
+    # selection agreement (ties within split-bf16 error may differ)
+    assert float(jnp.mean(
+        jnp.where(xm, aminx == jnp.argmin(dx, 2), True))) >= 0.99
