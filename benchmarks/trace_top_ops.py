@@ -78,9 +78,15 @@ for plane in xs.planes:
     if "TPU" not in plane.name and "tpu" not in plane.name:
         continue
     ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-    for line in plane.lines:
-        if "XLA Op" in line.name or "Steps" in line.name:
-            continue
+    # Prefer the per-op line ("XLA Ops"); the "XLA Modules" line holds one
+    # whole-step event and "Steps" holds markers — neither attributes time.
+    lines = [l for l in plane.lines if "XLA Ops" in l.name]
+    if not lines:
+        lines = [
+            l for l in plane.lines
+            if "XLA Modules" not in l.name and "Steps" not in l.name
+        ]
+    for line in lines:
         for ev in line.events:
             name = ev_meta.get(ev.metadata_id, "?")
             dur[name] += ev.duration_ps / 1e9  # ms

@@ -126,20 +126,23 @@ def ball_query(
 ):
     """Indices of up to `k` points of `xyz` within `radius` of each query.
 
-    Returns (idx (B, S, k) int32, in_ball (B, S, k) bool). Slots with fewer
-    than k in-radius points are padded with the nearest in-radius index
-    (slot 0), matching the reference's "pad with group_first" behavior
-    (pointnet2_utils.py:93-113). Unlike the reference (which keeps the first
-    k *by index order*), we keep the k *nearest* — same set semantics, a
-    strictly better geometric choice, and a single top_k on TPU.
+    Returns (idx (B, S, k) int32, in_ball (B, S, k) bool). Matches the
+    reference exactly (pointnet2_utils.py:93-113): the first k in-radius
+    points *by index order* fill the slots, and slots with fewer than k
+    in-radius points are padded with the first in-radius index (slot 0,
+    the reference's "pad with group_first"). Index-rank selection is also
+    what lets the fused Pallas kernel replace per-slot min-extraction with
+    one prefix-count + k cheap selector compares (pallas_kernels.
+    _group_kernel ball path).
     """
     d = pairwise_sqdist(new_xyz, xyz)  # (B, S, N)
     valid = d <= radius * radius
     if mask is not None:
         valid = jnp.logical_and(valid, mask[..., None, :])
-    d = jnp.where(valid, d, _BIG)
-    neg_d, idx = _select_k(-d, k, approx)
-    in_ball = -neg_d < _BIG
+    # first-k-by-index: select the k smallest point indices among the valid
+    key = jnp.where(valid, jnp.arange(xyz.shape[1], dtype=jnp.float32), _BIG)
+    neg_key, idx = _select_k(-key, k, approx)
+    in_ball = -neg_key < _BIG
     idx = jnp.where(in_ball, idx, idx[..., :1])
     return idx.astype(jnp.int32), in_ball
 

@@ -367,31 +367,141 @@ def _group_kernel(
     pipeline lane-pads a small trailing dim to 128 (which is what blew the
     scoped-VMEM budget in the row-major formulation).
 
-    The (N, S_t) squared-distance tile is built once in VMEM (direct fp32
-    VPU expansion — exact, no approx_max_k) and the k nearest neighbors are
-    extracted by iterative min + masked argmin (deterministic lowest-index
-    tie-break, the top_k convention). Each extraction gathers the selected
-    points' channels with ONE MXU dot against the one-hot selection column;
-    bf16 features are still selected exactly (one-hot rows), and fp32 xyz
-    precision survives as split-bf16 hi/lo channels recombined here.
+    Two selection modes:
+
+    * kNN (radius=None, pointmlp.py:106-124 semantics): the (N, S_t)
+      squared-distance tile is built once in VMEM (direct fp32 VPU
+      expansion — exact, no approx_max_k) and the k nearest neighbors are
+      extracted by iterative min + masked argmin (deterministic
+      lowest-index tie-break, the top_k convention). Each slot re-reads
+      AND re-writes the full f32 tile — O(k·N·S_t) VMEM traffic.
+    * ball query (radius set, pointnet2_utils.py:93-113 semantics —
+      first k in-radius points BY INDEX ORDER): each in-radius point's
+      slot is its index-rank among the in-radius points of its column,
+      computed once by a blocked prefix-count (strictly-lower-triangular
+      one-MXU-dot per N-block); slot j's selector is then a single bf16
+      compare (rank == j), which doubles as the one-hot gather operand.
+      No distance tile survives, no write-back per slot — the per-slot
+      VMEM traffic drops ~8x vs min-extraction (the SA1 grouping op was
+      29 ms/step of the PointNet2 B=256 train step under min-extraction,
+      benchmarks/trace_top_ops.py).
+
+    Each slot gathers the selected points' channels with ONE MXU dot
+    against the one-hot selection column; bf16 features are still selected
+    exactly (one-hot rows), and fp32 xyz precision survives as split-bf16
+    hi/lo channels recombined here. In ball mode the selected INDEX rides
+    the same dot as two extra hi/lo channels (idx = hi*128 + lo, both
+    exactly representable in bf16 for N <= 16384).
 
     Replaces the XLA chain pairwise_sqdist -> top_k -> take_along_axis x2
     (reference hot loop pointnet2_utils.py:93-144), which at B=64 spent
     ~44 ms/step materializing (B, S, N) in HBM + gathering (benchmarks/
-    sa_profile.py); radius=None gives kNN semantics (pointmlp.py:106-124).
+    sa_profile.py).
 
-    Slots past the in-radius count replicate slot 0 (the nearest point) and
-    report valid=0, matching ops.geometry.ball_query's pad-with-first.
+    Slots past the in-radius count replicate slot 0 (the first in-radius
+    point; the nearest in kNN mode) and report valid=0, matching
+    ops.geometry.ball_query's pad-with-first.
     """
     BIG = jnp.float32(1e9)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, s_tile), 0)
 
+    def emit(j, gat, amin, vb):
+        if split_xyz:
+            gx = gat[0:3, :] + gat[3:6, :]
+            base = 6
+        else:
+            gx = gat[0:3, :]
+            base = 3
+        gf = gat[base:, :] if radius is None else gat[base:-2, :]
+
+        @pl.when(j == 0)
+        def _():
+            g0_ref[:, :] = jnp.concatenate([gx, gf], axis=0)
+            idx0_ref[:, :] = amin
+
+        # at j == 0 the scratch now holds this slot's values, so the pad
+        # select below is the identity there (slot 0 is always emitted)
+        nf = 3 + gf.shape[0]
+        gx_ref[pl.ds(j, 1)] = jnp.where(vb, gx, g0_ref[0:3, :])[None]
+        gf_ref[pl.ds(j, 1)] = jnp.where(vb, gf, g0_ref[3:nf, :])[None].astype(
+            gf_ref.dtype
+        )
+        idx_ref[pl.ds(j, 1)] = jnp.where(vb, amin, idx0_ref[:, :])[None]
+        valid_ref[pl.ds(j, 1)] = vb.astype(jnp.float32)[None]
+
+    def gather_dot(sel):
+        return jax.lax.dot_general(
+            p_ref[:, :],
+            sel.astype(p_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # Mosaic lowers fp32 dots through bf16 passes unless HIGHEST is
+            # requested; the bf16 path instead keeps default speed and gets
+            # fp32 xyz accuracy from the split hi/lo channels
+            precision=(None if p_ref.dtype == jnp.bfloat16
+                       else jax.lax.Precision.HIGHEST),
+        )  # (Cp, S_t) fp32
+
+    if radius is not None:
+        # ---- ball query: blocked prefix-count of in-radius points ----
+        nb = min(256, n)
+        while n % nb:
+            nb -= 1
+        r2 = jnp.float32(radius * radius)
+        kf = jnp.float32(k)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        ).astype(jnp.bfloat16)  # strictly-lower: exclusive prefix
+
+        def blk(b, carry):
+            sl = pl.ds(b * nb, nb)
+            acc = pen_ref[sl, :]  # (nb, 1) mask penalty, broadcasts
+            for c in range(3):
+                diff = xyz_ref[sl, c : c + 1] - cents_ref[c : c + 1, :]
+                acc = acc + diff * diff
+            # all compares stay f32: Mosaic/v5e has no bf16 comparison
+            vf = (acc <= r2).astype(jnp.float32)  # (nb, S_t) 0/1
+            # rank within block: one MXU dot (counts <= nb are exact)
+            r_in = jax.lax.dot_general(
+                tri, vf.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rank = r_in + carry
+            # clamp to k (bf16-exact for k <= 256); out-of-ball rows get k,
+            # which no slot j < k ever selects
+            d_ref[sl, :] = jnp.where(
+                vf > 0.0, jnp.minimum(rank, kf), kf
+            ).astype(d_ref.dtype)
+            return carry + jnp.sum(vf, axis=0, keepdims=True)
+
+        cnt = jax.lax.fori_loop(
+            0, n // nb, blk, jnp.zeros((1, s_tile), jnp.float32)
+        )  # (1, S_t) in-radius count per centroid
+        rid0p = (rowid == 0).astype(p_ref.dtype)
+
+        def slot(j, _):
+            jf = jax.lax.convert_element_type(j, jnp.float32)
+            sel = (d_ref[:, :].astype(jnp.float32) == jf).astype(p_ref.dtype)
+            # zero-in-ball columns: slot 0 falls back to point 0 (the
+            # all-BIG tie-break of the XLA oracle's top_k); where() runs on
+            # numeric one-hots — bool-valued select doesn't lower on Mosaic
+            sel = jnp.where((j == 0) & (cnt <= 0.5), rid0p, sel)
+            gat = gather_dot(sel)
+            # the index rides the dot as exact hi/lo channels
+            amin = (gat[-2:-1, :] * 128.0 + gat[-1:, :]).astype(jnp.int32)
+            emit(j, gat, amin, jf < cnt)
+            return 0
+
+        jax.lax.fori_loop(0, k, slot, 0)
+        return
+
+    # ---- kNN: iterative min-extraction over the f32 distance tile ----
     acc = pen_ref[:, :]  # (N, 1) mask penalty, broadcasts over lanes
     for c in range(3):
         diff = xyz_ref[:, c : c + 1] - cents_ref[c : c + 1, :]  # (N, S_t)
         acc = acc + diff * diff
-    if radius is not None:
-        acc = jnp.where(acc <= jnp.float32(radius * radius), acc, BIG)
     d_ref[:, :] = acc
 
     # fori_loop (not python unroll): Mosaic gives every unrolled iteration
@@ -406,38 +516,8 @@ def _group_kernel(
         ).astype(jnp.int32)
         sel = rowid == amin
         d_ref[:, :] = jnp.where(sel, BIG, d)
-        gat = jax.lax.dot_general(
-            p_ref[:, :],
-            sel.astype(p_ref.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # Mosaic lowers fp32 dots through bf16 passes unless HIGHEST is
-            # requested; the bf16 path instead keeps default speed and gets
-            # fp32 xyz accuracy from the split hi/lo channels
-            precision=(None if p_ref.dtype == jnp.bfloat16
-                       else jax.lax.Precision.HIGHEST),
-        )  # (Cp, S_t) fp32
-        if split_xyz:
-            gx = gat[0:3, :] + gat[3:6, :]
-            gf = gat[6:, :]
-        else:
-            gx = gat[0:3, :]
-            gf = gat[3:, :]
-        vb = m < jnp.float32(0.5) * BIG  # (1, S_t)
-
-        @pl.when(j == 0)
-        def _():
-            g0_ref[:, :] = jnp.concatenate([gx, gf], axis=0)
-            idx0_ref[:, :] = amin
-
-        # at j == 0 the scratch now holds this slot's values, so the pad
-        # select below is the identity there (slot 0 is always emitted)
-        gx_ref[pl.ds(j, 1)] = jnp.where(vb, gx, g0_ref[0:3, :])[None]
-        gf_ref[pl.ds(j, 1)] = jnp.where(vb, gf, g0_ref[3:, :])[None].astype(
-            gf_ref.dtype
-        )
-        idx_ref[pl.ds(j, 1)] = jnp.where(vb, amin, idx0_ref[:, :])[None]
-        valid_ref[pl.ds(j, 1)] = vb.astype(jnp.float32)[None]
+        gat = gather_dot(sel)
+        emit(j, gat, amin, m < jnp.float32(0.5) * BIG)
         return 0
 
     jax.lax.fori_loop(0, k, slot, 0)
@@ -448,13 +528,16 @@ def _group_gather_call(xyz, cents_t, p_t, pen, *, k, radius, split_xyz,
     B, N, _ = xyz.shape
     S = cents_t.shape[-1]
     Cp = p_t.shape[1]
-    n_feat = Cp - 6 if split_xyz else Cp - 3
+    # ball mode carries 2 extra exact hi/lo index channels at the end of p_t
+    n_feat = Cp - (6 if split_xyz else 3) - (0 if radius is None else 2)
     kernel = functools.partial(
         _group_kernel, k=k, radius=radius, split_xyz=split_xyz,
         n=N, s_tile=s_tile,
     )
+    # kNN holds the f32 distance tile; ball only the bf16 rank tile
+    sel_dtype = jnp.float32 if radius is None else jnp.bfloat16
     vmem = (
-        8 * N * s_tile * 4  # distance tile + per-slot temporaries
+        (8 if radius is None else 4) * N * s_tile * 4
         + 2 * N * (Cp + 4) * p_t.dtype.itemsize
         + 2 * k * s_tile * (3 * 4 + n_feat * p_t.dtype.itemsize + 8)
         + (4 << 20)
@@ -481,7 +564,7 @@ def _group_gather_call(xyz, cents_t, p_t, pen, *, k, radius, split_xyz,
             jax.ShapeDtypeStruct((B, k, 1, S), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, s_tile), jnp.float32),
+            pltpu.VMEM((N, s_tile), sel_dtype),
             pltpu.VMEM((3 + n_feat, s_tile), jnp.float32),
             pltpu.VMEM((1, s_tile), jnp.int32),
         ],
@@ -622,11 +705,22 @@ def _grouped_gather_fwd(xyz, feats, new_xyz, pen, k, radius, interpret):
         # MXU path: exact one-hot selection of bf16 features; xyz precision
         # survives as split-bf16 hi/lo channels recombined in-kernel
         hi, lo = _split_bf16(xyz)
-        p = jnp.concatenate([hi, lo, feats], axis=-1)
+        parts = [hi, lo, feats]
         split = True
     else:
-        p = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+        parts = [xyz, feats.astype(jnp.float32)]
         split = False
+    if radius is not None:
+        # ball mode: the selected index rides the gather dot as hi/lo
+        # channels (idx = hi*128 + lo; hi <= N/128 and lo <= 127 are exact
+        # in bf16 for N <= 16384)
+        i = jnp.arange(N, dtype=jnp.int32)
+        ihl = jnp.broadcast_to(
+            jnp.stack([i // 128, i % 128], -1).astype(parts[-1].dtype),
+            (B, N, 2),
+        )
+        parts.append(ihl)
+    p = jnp.concatenate(parts, axis=-1)
     p_t = jnp.swapaxes(p, 1, 2)  # (B, Cp, N)
     # centroid tile: ~8 (N, s_tile) fp32 temporaries must fit scoped VMEM
     s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))

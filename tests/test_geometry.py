@@ -87,6 +87,22 @@ def test_ball_query_radius_and_padding(rng):
         assert in_ball[i][0]
 
 
+def test_ball_query_first_k_by_index_order(rng):
+    """Reference semantics (pointnet2_utils.py:93-113): when more than k
+    points are in the ball, the FIRST k by point index fill the slots, in
+    index order — not the k nearest."""
+    xyz = rng.random((1, 200, 3), dtype=np.float32)
+    q = xyz[:, :4]
+    r, k = 0.6, 8  # wide ball: most queries have > k in-radius points
+    idx, in_ball = ball_query(r, k, jnp.asarray(xyz), jnp.asarray(q))
+    idx, in_ball = np.asarray(idx)[0], np.asarray(in_ball)[0]
+    full = _np_sqdist(q, xyz)[0]
+    for i in range(4):
+        want = np.nonzero(full[i] <= r * r)[0][:k]
+        got = idx[i][in_ball[i]]
+        assert (got == want[: len(got)]).all() and len(got) == len(want)
+
+
 def test_sample_and_group_shapes(rng):
     xyz = rng.random((2, 64, 3), dtype=np.float32)
     feat = rng.random((2, 64, 5), dtype=np.float32)
