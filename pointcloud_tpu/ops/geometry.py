@@ -241,6 +241,24 @@ def sample_and_group(
     else:
         new_mask = jnp.ones(fps_idx.shape, dtype=bool)
 
+    if (not use_knn and features is not None and nsample % 8 == 0
+            and _use_pallas()):
+        # fused fast path: centered-xyz+feature gather lands directly in
+        # SetAbstraction's (B, S, K, 3+F) layout — no XLA transpose/concat
+        # glue (the S-major kernel; see pallas_kernels.grouped_gather_ball)
+        from pointcloud_tpu.ops.pallas_kernels import grouped_gather_ball
+
+        B, N, _ = xyz.shape
+        pen = jnp.zeros((B, N, 1), jnp.float32)
+        if mask is not None:
+            pen = jnp.where(mask[..., None], 0.0, jnp.float32(1e9))
+        grouped, _, valid = grouped_gather_ball(
+            xyz[..., :3].astype(jnp.float32), features, new_xyz, pen,
+            nsample, float(radius),
+        )
+        group_mask = jnp.logical_and(valid > 0.5, new_mask[..., None])
+        return new_xyz, grouped, group_mask, new_mask
+
     grouped_xyz, grouped_feat, idx, group_mask = group_neighbors(
         xyz, features, new_xyz, nsample,
         radius=None if use_knn else radius, mask=mask,

@@ -757,6 +757,256 @@ def _grouped_gather_bwd(k, radius, interpret, res, cots):
 grouped_gather.defvjp(_grouped_gather_fwd, _grouped_gather_bwd)
 
 
+def _group_ball_smajor_kernel(
+    xyz_ref, cents_ref, p_ref, pen_ref, grp_ref, idx_ref, valid_ref,
+    d_ref, g0_ref, idx0_ref, *, k, radius, split_xyz, n, s_tile, n_feat,
+):
+    """S-major fused ball grouping: centered-xyz+feature gather in the
+    consumer's layout.
+
+    The (B, k, C, S) layout of `_group_kernel` forces the SetAbstraction
+    chain through two big XLA transposes plus a concat/pad round trip
+    (~15-20 ms/step of PointNet2 at B=256, benchmarks/trace_top_ops.py).
+    This variant puts centroids on SUBLANES instead: ranks are a
+    (S_t, N) tile, the per-slot gather is one (S_t, N) @ (N, Cp) MXU dot
+    whose (S_t, Cp) result is ALREADY row-major, the centroid subtraction
+    and the [centered_xyz | feats] concat happen in-VMEM, and each slot
+    stores to grp_ref[:, j, :] (dynamic-sublane store) — so the kernel
+    emits the exact (B, S, k, 3+F) tensor sample_and_group's contract
+    wants and the downstream reshape to (B, S*k, C) rows is free.
+
+    Selection semantics are identical to _group_kernel's ball mode
+    (reference pointnet2_utils.py:93-113: first k in-radius by index
+    order, pad-with-first, blocked prefix-count ranks via one
+    strictly-upper-triangular MXU dot per N-block). idx rides the gather
+    dot as exact hi/lo channels (bf16) or one f32 channel.
+    """
+    pdt = p_ref.dtype
+    nb = min(256, n)
+    while n % nb:
+        nb -= 1
+    r2 = jnp.float32(radius * radius)
+    kf = jnp.float32(k)
+    # strictly-upper: U[i', i] = 1[i' < i] -> (vf @ U)[s, i] = exclusive
+    # prefix count of in-ball points before i (within the block)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    ).astype(jnp.bfloat16)
+
+    def blk(bi, carry):
+        sl = pl.ds(bi * nb, nb)
+        acc = pen_ref[0:1, sl]  # (1, nb) mask penalty, broadcasts over rows
+        for c in range(3):
+            diff = cents_ref[:, c : c + 1] - xyz_ref[c : c + 1, sl]
+            acc = acc + diff * diff  # (s_tile, nb)
+        # all compares stay f32: Mosaic/v5e has no bf16 comparison
+        vf = (acc <= r2).astype(jnp.float32)
+        r_in = jax.lax.dot_general(
+            vf.astype(jnp.bfloat16), tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rank = r_in + carry
+        d_ref[:, sl] = jnp.where(
+            vf > 0.0, jnp.minimum(rank, kf), kf
+        ).astype(d_ref.dtype)
+        return carry + jnp.sum(vf, axis=1, keepdims=True)
+
+    cnt = jax.lax.fori_loop(
+        0, n // nb, blk, jnp.zeros((s_tile, 1), jnp.float32)
+    )  # (s_tile, 1) in-ball count per centroid
+
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_tile, n), 1) == 0
+    ).astype(pdt)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (s_tile, k), 1)
+
+    # slots are processed 8 at a time so the grp store offset is always
+    # 8-aligned: Mosaic rejects a dynamic (s_tile, 1, C) sublane store
+    # unless C is a multiple of 8 ("index in dimension 2 must be a
+    # multiple of 8"), but a (s_tile, 8, C) store at offset 8*jg lowers
+    # for every C (entry requires k % 8 == 0)
+    def slot_group(jg, _):
+        j0 = jg * 8
+        combs = []
+        for u in range(8):
+            j = j0 + u
+            jf = jax.lax.convert_element_type(j, jnp.float32)
+            sel = (d_ref[:, :].astype(jnp.float32) == jf).astype(pdt)
+            # zero-in-ball columns: slot 0 falls back to point 0; where()
+            # runs on numeric one-hots — bool select doesn't lower on Mosaic
+            if u == 0:
+                sel = jnp.where((j == 0) & (cnt <= 0.5), lane0, sel)
+            gat = jax.lax.dot_general(
+                sel, p_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(None if pdt == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST),
+            )  # (s_tile, Cp) f32
+            if split_xyz:
+                gx = gat[:, 0:3] + gat[:, 3:6]
+                base = 6
+                amin = (gat[:, -2:-1] * 128.0 + gat[:, -1:]).astype(jnp.int32)
+            else:
+                gx = gat[:, 0:3]
+                base = 3
+                amin = gat[:, -1:].astype(jnp.int32)
+            gf = gat[:, base : base + n_feat]
+            comb = jnp.concatenate([gx - cents_ref[:, 0:3], gf], axis=-1)
+            vb = jf < cnt  # (s_tile, 1)
+
+            if u == 0:
+                @pl.when(jg == 0)
+                def _():
+                    g0_ref[:, :] = comb
+                    idx0_ref[:, :] = amin
+
+            # at j == 0 the scratch holds this slot's values -> the pad
+            # select is the identity there (slot 0 is always emitted)
+            combs.append(jnp.where(vb, comb, g0_ref[:, :]))
+            # idx/valid have k on LANES: dynamic lane stores don't lower,
+            # so write the full tile with a lane mask (k*k per slot — tiny)
+            iv = jnp.where(vb, amin, idx0_ref[:, :])
+            idx_ref[:, :] = jnp.where(kiota == j, iv, idx_ref[:, :])
+            valid_ref[:, :] = jnp.where(
+                kiota == j, vb.astype(jnp.float32), valid_ref[:, :]
+            )
+        grp_ref[:, pl.ds(j0, 8), :] = jnp.stack(
+            combs, axis=1
+        ).astype(grp_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k // 8, slot_group, 0)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def grouped_gather_ball(xyz, feats, new_xyz, pen, k, radius,
+                        interpret=False):
+    """Fused ball grouping in SetAbstraction's input layout.
+
+    xyz (B, N, 3) f32, feats (B, N, F) (bf16 -> split-xyz MXU path),
+    new_xyz (B, S, 3), pen (B, N, 1) f32 (+BIG on masked points). Returns
+      grouped (B, S, k, 3+F) in feats.dtype — [xyz - centroid | feats],
+        the exact tensor sample_and_group hands SetAbstraction
+        (reference pointnet2_utils.py:116-144, concat at :139),
+      idx (B, S, k) int32,
+      valid (B, S, k) f32 (1=in-ball).
+
+    Differentiation: selection is non-differentiable; value gradients
+    scatter back to xyz/feats rows (deterministic one-hot segment-sum),
+    and the in-kernel centering routes -sum_k d(grouped_xyz) to new_xyz.
+    """
+    out, _ = _gg_ball_fwd(xyz, feats, new_xyz, pen, k, radius, interpret)
+    return out
+
+
+def _gg_ball_fwd(xyz, feats, new_xyz, pen, k, radius, interpret):
+    if k % 8:
+        raise ValueError(
+            f"grouped_gather_ball needs k % 8 == 0 (8-slot aligned stores); "
+            f"got k={k} — use group_neighbors for other k"
+        )
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
+    cents = new_xyz[..., :3].astype(jnp.float32)  # (B, S, 3)
+    i = jnp.arange(N, dtype=jnp.int32)
+    if feats.dtype == jnp.bfloat16:
+        hi, lo = _split_bf16(xyz)
+        # idx = hi*128 + lo rides the dot exactly in bf16 for N <= 16384
+        ihl = jnp.broadcast_to(
+            jnp.stack([i // 128, i % 128], -1).astype(jnp.bfloat16),
+            (B, N, 2),
+        )
+        p = jnp.concatenate([hi, lo, feats, ihl], axis=-1)
+        split = True
+    else:
+        idxf = jnp.broadcast_to(
+            i.astype(jnp.float32)[None, :, None], (B, N, 1)
+        )
+        p = jnp.concatenate([xyz, feats.astype(jnp.float32), idxf], axis=-1)
+        split = False
+    Cp = p.shape[-1]
+    F = feats.shape[-1]
+    C = 3 + F
+
+    s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))
+    s_tile = 1 << (s_tile.bit_length() - 1)
+    while S % s_tile:
+        s_tile //= 2
+
+    kernel = functools.partial(
+        _group_ball_smajor_kernel, k=k, radius=float(radius),
+        split_xyz=split, n=N, s_tile=s_tile, n_feat=F,
+    )
+    isz = p.dtype.itemsize
+    vmem = (
+        5 * N * s_tile * 4  # rank tile + selector/compare temporaries
+        # the 8-slot store group unrolls: 8 live selector/gather/comb sets
+        + 8 * s_tile * (N + Cp + 3 * C) * 4
+        + 2 * N * (Cp + 4) * isz
+        + 2 * s_tile * k * (C * isz + 8)
+        + (8 << 20)
+    )
+    grouped, idx, valid = pl.pallas_call(
+        kernel,
+        grid=(B, S // s_tile),
+        in_specs=[
+            pl.BlockSpec((None, 3, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, s_tile, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((None, N, Cp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, 1, N), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, s_tile, k, C), lambda b, s: (b, s, 0, 0)),
+            pl.BlockSpec((None, s_tile, k), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((None, s_tile, k), lambda b, s: (b, s, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, k, C), feats.dtype),
+            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, k), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_tile, N), jnp.bfloat16),
+            pltpu.VMEM((s_tile, C), jnp.float32),
+            pltpu.VMEM((s_tile, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 << 20)
+        ),
+        interpret=interpret,
+    )(xyz_t, cents, p, jnp.swapaxes(pen, 1, 2))
+    out = (grouped, idx, valid)
+    return out, (idx, xyz[:, :, :0], feats[:, :, :0], new_xyz[:, :0])
+
+
+def _gg_ball_bwd(k, radius, interpret, res, cots):
+    idx, xyz0, feats0, nx0 = res
+    N = xyz0.shape[1]
+    dg = cots[0]  # (B, S, k, 3+F); idx/valid are non-diff
+    B, S = idx.shape[0], idx.shape[1]
+    g = dg.astype(jnp.float32)
+    d_new_xyz = -jnp.sum(g[..., :3], axis=2)  # centering term
+    g2 = g.reshape(B, S * k, -1)
+    if feats0.dtype == jnp.bfloat16:
+        g2 = g2.astype(jnp.bfloat16)  # grads are activation-precision anyway
+    scat = scatter_rows_pallas(g2, idx.reshape(B, -1), N,
+                               interpret=interpret)
+    d_xyz = scat[..., :3].astype(xyz0.dtype)
+    d_feats = scat[..., 3:].astype(feats0.dtype)
+    return (d_xyz, d_feats, d_new_xyz.astype(nx0.dtype),
+            jnp.zeros((B, N, 1), jnp.float32))
+
+
+grouped_gather_ball.defvjp(_gg_ball_fwd, _gg_ball_bwd)
+
+
 ############################ FPS ############################
 
 

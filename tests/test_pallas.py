@@ -360,3 +360,121 @@ def test_group_neighbors_knn_underfilled_mask_parity(rng):
         np.asarray(idx)[..., 5:], np.broadcast_to(
             np.asarray(idx)[..., :1], np.asarray(idx)[..., 5:].shape)
     )
+
+
+def _ball_smajor_oracle(xyz, feats, new_xyz, k, radius, mask=None):
+    """XLA composition matching grouped_gather_ball's contract."""
+    from pointcloud_tpu.ops.geometry import ball_query, index_points
+
+    idx, in_ball = ball_query(radius, k, xyz, new_xyz, mask=mask)
+    gx = index_points(xyz[..., :3], idx) - new_xyz[:, :, None, :]
+    gf = index_points(feats, idx)
+    grouped = jnp.concatenate(
+        [gx.astype(feats.dtype), gf], axis=-1
+    )
+    return grouped, idx, in_ball
+
+
+def test_grouped_gather_ball_smajor_matches_oracle(rng):
+    from pointcloud_tpu.ops.pallas_kernels import grouped_gather_ball
+
+    B, N, S, k, F = 2, 128, 16, 8, 5
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((B, N, F), dtype=np.float32))
+    cents = xyz[:, ::8, :]
+    pen = jnp.zeros((B, N, 1), jnp.float32)
+    grouped, idx, valid = grouped_gather_ball(
+        xyz, feats, cents, pen, k, 0.3, True
+    )
+    og, oi, ov = _ball_smajor_oracle(xyz, feats, cents, k, 0.3)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oi))
+    np.testing.assert_array_equal(np.asarray(valid) > 0.5, np.asarray(ov))
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.asarray(og), atol=1e-6
+    )
+
+
+def test_grouped_gather_ball_smajor_bf16_and_mask(rng):
+    from pointcloud_tpu.ops.pallas_kernels import grouped_gather_ball
+
+    B, N, S, k, F = 2, 128, 16, 8, 4
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    feats = jnp.asarray(
+        rng.random((B, N, F), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    cents = xyz[:, ::8, :]
+    mask = np.ones((B, N), bool)
+    mask[:, ::3] = False
+    pen = jnp.where(jnp.asarray(mask)[..., None], 0.0, jnp.float32(1e9))
+    grouped, idx, valid = grouped_gather_ball(
+        xyz, feats, cents, pen, k, 0.35, True
+    )
+    og, oi, ov = _ball_smajor_oracle(
+        xyz, feats, cents, k, 0.35, mask=jnp.asarray(mask)
+    )
+    assert grouped.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oi))
+    np.testing.assert_array_equal(np.asarray(valid) > 0.5, np.asarray(ov))
+    # split-bf16 xyz + bf16 rounding: compare at bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(grouped.astype(jnp.float32)),
+        np.asarray(og.astype(jnp.float32)), atol=1e-2,
+    )
+    # feature channels are selected exactly
+    np.testing.assert_array_equal(
+        np.asarray(grouped[..., 3:].astype(jnp.float32)),
+        np.asarray(og[..., 3:].astype(jnp.float32)),
+    )
+    assert (np.asarray(idx) % 3 != 0).all()
+
+
+def test_grouped_gather_ball_smajor_grad(rng):
+    """VJP parity vs XLA autodiff of the oracle composition: gradients to
+    xyz, feats, and new_xyz (the in-kernel centering term)."""
+    from pointcloud_tpu.ops.pallas_kernels import grouped_gather_ball
+
+    B, N, S, k, F = 1, 64, 8, 8, 3
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((B, N, F), dtype=np.float32))
+    cents = jnp.asarray(np.asarray(xyz[:, ::8, :]))
+    pen = jnp.zeros((B, N, 1), jnp.float32)
+    w = jnp.asarray(rng.random((B, S, k, 3 + F), dtype=np.float32))
+
+    def f_pallas(xyz, feats, cents):
+        g, _, _ = grouped_gather_ball(xyz, feats, cents, pen, k, 0.4, True)
+        return jnp.sum(g * w)
+
+    def f_oracle(xyz, feats, cents):
+        g, _, _ = _ball_smajor_oracle(xyz, feats, cents, k, 0.4)
+        return jnp.sum(g * w)
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(xyz, feats, cents)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2))(xyz, feats, cents)
+    for a, b, name in zip(gp, go, ["xyz", "feats", "new_xyz"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
+
+
+def test_sample_and_group_fused_path_matches_xla(rng, monkeypatch):
+    """sample_and_group's fused ball path == the XLA composition."""
+    import pointcloud_tpu.ops.geometry as geo
+
+    xyz = jnp.asarray(rng.random((2, 96, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 96, 4), dtype=np.float32))
+    ref = geo.sample_and_group(16, 0.3, 8, xyz, feats)
+
+    monkeypatch.setattr(geo, "_use_pallas", lambda: True)
+    import pointcloud_tpu.ops.pallas_kernels as pk
+    orig = pk.grouped_gather_ball
+
+    def interp(*args, **kw):
+        return orig(*args[:6], True)
+
+    monkeypatch.setattr(pk, "grouped_gather_ball", interp)
+    got = geo.sample_and_group(16, 0.3, 8, xyz, feats)
+    for a, b, name in zip(got, ref, ["new_xyz", "grouped", "gmask", "nmask"]):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32),
+            np.asarray(b).astype(np.float32), atol=1e-6, err_msg=name,
+        )
