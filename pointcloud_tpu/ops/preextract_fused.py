@@ -63,15 +63,25 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-5
 
 
-def _row_tile(rows: int, pool: int, C: int) -> int:
+def _row_tile(rows: int, pool: int, C: int, aligned: bool = False) -> int:
     """Largest multiple of `pool` dividing `rows` with tile*C <= ~512K el
     (the backward pass holds ~12 live f32 tiles on the Mosaic scoped stack;
     512K el * 4 B * 12 ~= 24 MB leaves pipeline headroom under the VMEM
-    cap)."""
+    cap).
+
+    aligned=True: the kernel indexes (nb, C) refs at per-tile group
+    granularity (pl.ds(t*bpt, bpt)); Mosaic requires such dynamic sublane
+    offsets to be provably multiples of 8, so bpt must be a multiple of 8
+    unless the whole pass is a single tile (offset statically 0)."""
+    nb = rows // pool
     bpt = max(1, (512 * 1024) // max(C * pool, 1))
-    bpt = min(bpt, rows // pool)
-    while (rows // pool) % bpt:
-        bpt -= 1
+    bpt = min(bpt, nb)
+    step = 8 if (aligned and nb % 8 == 0) else 1
+    bpt = max(step, bpt - bpt % step)
+    while nb % bpt and bpt > step:
+        bpt -= step
+    if nb % bpt or (aligned and bpt != nb and bpt % 8):
+        bpt = nb  # single tile: offsets are static
     return bpt * pool
 
 
@@ -233,9 +243,10 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked):
             v = v + jnp.maximum(rb, 0.0)
         elif res_mode == RES_DENSE:
             v = v + rd_ref[sl, :].astype(jnp.float32)
-        if masked:
-            v = v - pen_ref[sl, :]
         v3 = v.reshape(bpt, pool, C)
+        if masked:
+            # pen rides in (nb, pool) layout (dense lanes)
+            v3 = v3 - pen_ref[pl.ds(t * bpt, bpt), :][:, :, None]
         mx = jnp.max(v3, axis=1)  # (bpt, C) f32
         amx = jnp.min(
             jnp.where(v3 == mx[:, None, :], within, pool), axis=1
@@ -296,7 +307,7 @@ def _bwd_pass_kernel(*refs, rows, pool, r_tile, dtype, f32_dots,
         if skip_dense:
             dskip_ref = refs[i]; i += 1
     else:
-        a0t_ref = refs[i]; i += 1
+        x0_ref = refs[i]; i += 1  # row-major chain input (rows, Cd)
     # outputs
     dzd_ref = refs[i]; i += 1
     if down_bn:
@@ -378,9 +389,7 @@ def _bwd_pass_kernel(*refs, rows, pool, r_tile, dtype, f32_dots,
             return s, q
         else:
             dzd_ref[sl, :] = da.astype(dtype)  # dx through W^T
-            dw_acc[:, :] += _dot(
-                a0t_ref[:, sl], dh16, f32_dots
-            )
+            dw_acc[:, :] += _dot_t(x0_ref[sl, :], dh16, f32_dots)
             return acc
 
     s, q = jax.lax.fori_loop(
@@ -423,6 +432,20 @@ def _vmem(*byte_counts):
     return min(sum(byte_counts) + (16 << 20), 120 << 20)
 
 
+def _batch_block(B, R, Cmax, isz):
+    """Batch elements fused per grid step.
+
+    With one batch element per step the chain kernels pay ~13 us of
+    per-grid-step overhead on ~5 us of DMA (measured 2.5-3x off HBM
+    roofline at PointNet2 B=256, benchmarks/trace_top_ops.py). Blocking
+    bb elements per step — a free (B, R, C) -> (B/bb, bb*R, C) bitcast —
+    amortizes it; target ~8 MB per h block, bwd holds ~6 of them."""
+    bb = 1
+    while B % (bb * 2) == 0 and (bb * 2) * R * Cmax * isz <= (8 << 20):
+        bb *= 2
+    return bb
+
+
 def _bspec(R, C):
     return pl.BlockSpec((None, R, C), lambda b: (b, 0, 0))
 
@@ -443,19 +466,25 @@ def _affine_scalars(ssum, ssq, gamma, beta, n):
 
 
 def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
-    B, R, Cin = x.shape
+    B0, R0, Cin = x.shape
     L = len(ws)
     blocks = (L - 1) // 2
     if residual:
         assert L == 1 + 2 * blocks and blocks >= 1
     else:
         assert L >= 1 and pen is not None
-    assert R % pool == 0
+    assert R0 % pool == 0
     dt = x.dtype
     isz = jnp.dtype(dt).itemsize
     f32_dots = dt == jnp.float32
-    n = float(B * R)
+    n = float(B0 * R0)
     ws_c = tuple(w.astype(dt) for w in ws)
+
+    # fuse bb batch elements per grid step (free bitcast reshape)
+    Cmax = max([Cin] + [w.shape[1] for w in ws])
+    bb = _batch_block(B0, R0, Cmax, isz)
+    B, R = B0 // bb, bb * R0
+    x = x.reshape(B, R, Cin)
 
     hs, stats, scs, rs = [], [], [], []
 
@@ -555,9 +584,11 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
         ins.append(rs[blocks - 2])
         in_specs.append(_bspec(R, CL))
     if not residual:
-        ins.append(pen.reshape(B, R, 1).astype(jnp.float32))
-        in_specs.append(_bspec(R, 1))
-    r_tile = _row_tile(R, pool, CL)
+        # (nb, pool) layout: a (R, 1) block lane-pads 128x and XLA
+        # materializes a 2.9 ms relayout copy at PointNet2 B=256
+        ins.append(pen.reshape(B, nb, pool).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((None, nb, pool), lambda b: (b, 0, 0)))
+    r_tile = _row_tile(R, pool, CL, aligned=True)
     out, maxv, amax, hsel = pl.pallas_call(
         functools.partial(
             _bn_respool_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dt,
@@ -582,8 +613,8 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
 
     stats_out = tuple((ss, sq) for ss, sq in stats)
     saved = (x, ws, gammas, betas, tuple(hs), tuple(rs), maxv, amax, hsel,
-             stats_out)
-    return (out, stats_out), saved
+             stats_out, (B0, R0))
+    return (out.reshape(B0, R0 // pool, CL), stats_out), saved
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -609,9 +640,9 @@ def _zero_cot(c, shape):
 
 
 def _bwd_vjp(pool, interpret, saved, cots, residual=True):
-    x, ws, gammas, betas, hs, rs, maxv, amax, hsel, stats = saved
+    x, ws, gammas, betas, hs, rs, maxv, amax, hsel, stats, (B0, R0) = saved
     dout, dstats = cots
-    B, R, Cin = x.shape
+    B, R, Cin = x.shape  # batch-blocked shapes (see _batch_block)
     L = len(ws)
     blocks = (L - 1) // 2
     nb = R // pool
@@ -621,7 +652,7 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
     n = float(B * R)
 
     CL = ws[-1].shape[1]
-    dout = _zero_cot(dout, (B, nb, CL))
+    dout = _zero_cot(dout, (B0, R0 // pool, CL)).reshape(B, nb, CL)
     dss = [
         _zero_cot(ds, (ws[l].shape[1],)) for l, (ds, _) in enumerate(
             dstats if dstats is not None else [(None, None)] * L
@@ -710,8 +741,11 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
                 in_specs.append(_bspec(R, Cd))
         else:
             res_mode, skip_pool, skip_dense = RES_NONE, False, False
-            ins.append(jnp.swapaxes(x, 1, 2))  # (B, Cd, R)
-            in_specs.append(pl.BlockSpec((None, Cd, R), lambda b: (b, 0, 0)))
+            # row-major x + _dot_t: a (B, Cd, R) operand forced XLA to
+            # materialize a transposed copy of the whole input (~4 ms at
+            # PointNet2 B=256)
+            ins.append(x)
+            in_specs.append(_bspec(R, Cd))
 
         out_specs = [_bspec(R, Cd)]
         out_shape = [jax.ShapeDtypeStruct((B, R, Cd), dt)]
@@ -724,7 +758,8 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
         out_specs.append(_cspec(Cd, Cu))
         out_shape.append(jax.ShapeDtypeStruct((Cd, Cu), jnp.float32))
 
-        r_tile = _row_tile(R, pool, max(Cd, Cu))
+        r_tile = _row_tile(R, pool, max(Cd, Cu),
+                           aligned=sparse_up or skip_pool)
         outs = pl.pallas_call(
             functools.partial(
                 _bwd_pass_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dt,
@@ -757,7 +792,7 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
         dws[u] = dw.astype(ws[u].dtype)
 
     return (
-        dx.astype(x.dtype),
+        dx.astype(x.dtype).reshape(B0, R0, Cin),
         tuple(dws),
         tuple(dg.astype(g.dtype) for dg, g in zip(dgs, gammas)),
         tuple(db.astype(b.dtype) for db, b in zip(dbs, betas)),
