@@ -183,6 +183,22 @@ def group_neighbors(
     """
     if impl == "auto":
         impl = "pallas" if (_use_pallas() and feats is not None) else "xla"
+    if impl == "pallas" and feats is not None and radius is None and k % 8 == 0:
+        # S-major kNN kernel: gathers land in the public row-major
+        # (B, S, k, C) layout directly — the (B, k, C, S) legacy kernel
+        # forced ~100 MB XLA relayout copies per grouped tensor per step
+        # (see pallas_kernels._group_knn_smajor_kernel)
+        from pointcloud_tpu.ops.pallas_kernels import grouped_gather_knn
+
+        B, N, _ = xyz.shape
+        pen = jnp.zeros((B, N, 1), jnp.float32)
+        if mask is not None:
+            pen = jnp.where(mask[..., None], 0.0, jnp.float32(1e9))
+        gx, gf, idx = grouped_gather_knn(
+            xyz[..., :3], feats, new_xyz, pen, k, interpret
+        )
+        valid_b = jnp.ones(idx.shape, dtype=bool)
+        return gx.astype(xyz.dtype), gf.astype(feats.dtype), idx, valid_b
     if impl == "pallas" and feats is not None:
         from pointcloud_tpu.ops.pallas_kernels import grouped_gather
 

@@ -1007,6 +1007,201 @@ def _gg_ball_bwd(k, radius, interpret, res, cots):
 grouped_gather_ball.defvjp(_gg_ball_fwd, _gg_ball_bwd)
 
 
+def _group_knn_smajor_kernel(
+    xyz_ref, cents_ref, p_ref, pen_ref, gx_ref, gf_ref, idx_ref,
+    d_ref, g0_ref, idx0_ref, *, k, split_xyz, n, s_tile, n_feat,
+):
+    """S-major fused kNN grouping (reference knn_point, pointmlp.py:106-124).
+
+    The (B, k, C, S) layout of `_group_kernel`'s kNN mode forced PointMLP's
+    LocalGrouper through five ~100 MB XLA layout copies per train step at
+    B=32 (813 MB/step of pure relayout traffic, benchmarks/trace_top_ops.py)
+    — the same disease the ball-mode S-major rework cured for PointNet2.
+    This variant keeps centroids on SUBLANES: the distance tile is
+    (S_t, N), min-extraction reduces over lanes, each slot's gather is one
+    (S_t, N) @ (N, Cp) MXU dot whose (S_t, Cp) result is already row-major,
+    and stores land in the public (B, S, k, C) contract directly.
+
+    Selection semantics are identical to _group_kernel's kNN mode:
+    iterative lane-min with deterministic lowest-index tie-break (the top_k
+    convention); slots past the valid count replicate slot 0 (the nearest
+    valid point — the documented underfilled-mask semantics).
+    """
+    BIG = jnp.float32(1e9)
+    pdt = p_ref.dtype
+    laneid = jax.lax.broadcasted_iota(jnp.int32, (s_tile, n), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (s_tile, k), 1)
+
+    acc = pen_ref[0:1, :]  # (1, N) mask penalty, broadcasts over sublanes
+    for c in range(3):
+        diff = cents_ref[:, c : c + 1] - xyz_ref[c : c + 1, :]
+        acc = acc + diff * diff  # (s_tile, N)
+    d_ref[:, :] = acc
+
+    # slots are processed 8 at a time so the (s_tile, 8, C) grp stores are
+    # always 8-aligned in dim 1 (same Mosaic constraint as the ball kernel)
+    def slot_group(jg, _):
+        j0 = jg * 8
+        combx, combf = [], []
+        for u in range(8):
+            j = j0 + u
+            d = d_ref[:, :]
+            m = jnp.min(d, axis=1, keepdims=True)  # (s_tile, 1)
+            im = jnp.min(
+                jnp.where(d == m, laneid, n), axis=1, keepdims=True
+            ).astype(jnp.int32)
+            one = laneid == im
+            d_ref[:, :] = jnp.where(one, BIG, d)
+            gat = jax.lax.dot_general(
+                one.astype(pdt), p_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(None if pdt == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST),
+            )  # (s_tile, Cp) f32
+            if split_xyz:
+                gx = gat[:, 0:3] + gat[:, 3:6]
+                base = 6
+            else:
+                gx = gat[:, 0:3]
+                base = 3
+            gf = gat[:, base : base + n_feat]
+            vb = m < jnp.float32(0.5) * BIG  # (s_tile, 1)
+
+            if u == 0:
+                @pl.when(jg == 0)
+                def _():
+                    g0_ref[:, :] = jnp.concatenate([gx, gf], axis=-1)
+                    idx0_ref[:, :] = im
+
+            # at j == 0 the scratch holds this slot's values -> the pad
+            # select is the identity there (slot 0 is always emitted)
+            combx.append(jnp.where(vb, gx, g0_ref[:, 0:3]))
+            combf.append(jnp.where(vb, gf, g0_ref[:, 3 : 3 + n_feat]))
+            # idx has k on LANES: dynamic lane stores don't lower, so write
+            # the full tile with a lane mask (k*k per slot — tiny)
+            iv = jnp.where(vb, im, idx0_ref[:, :])
+            idx_ref[:, :] = jnp.where(kiota == j, iv, idx_ref[:, :])
+        gx_ref[:, pl.ds(j0, 8), :] = jnp.stack(combx, axis=1)
+        gf_ref[:, pl.ds(j0, 8), :] = jnp.stack(
+            combf, axis=1
+        ).astype(gf_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k // 8, slot_group, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def grouped_gather_knn(xyz, feats, new_xyz, pen, k, interpret=False):
+    """Fused kNN grouping in the public row-major layout.
+
+    xyz (B, N, 3) f32, feats (B, N, F) (bf16 -> split-xyz MXU path),
+    new_xyz (B, S, 3), pen (B, N, 1) f32 (+BIG on masked points). Returns
+      grouped_xyz (B, S, k, 3) f32 — NOT centered,
+      grouped_feats (B, S, k, F) feats.dtype,
+      idx (B, S, k) int32.
+    Requires k % 8 == 0 (8-slot aligned stores).
+
+    Differentiation: selection is non-differentiable; value gradients
+    scatter back to xyz/feats rows (deterministic one-hot segment-sum);
+    new_xyz/pen get zeros (matches XLA top_k+gather autodiff).
+    """
+    out, _ = _gg_knn_fwd(xyz, feats, new_xyz, pen, k, interpret)
+    return out
+
+
+def _gg_knn_fwd(xyz, feats, new_xyz, pen, k, interpret):
+    if k % 8:
+        raise ValueError(
+            f"grouped_gather_knn needs k % 8 == 0 (8-slot aligned stores); "
+            f"got k={k} — use group_neighbors' XLA path for other k"
+        )
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
+    cents = new_xyz[..., :3].astype(jnp.float32)  # (B, S, 3)
+    if feats.dtype == jnp.bfloat16:
+        hi, lo = _split_bf16(xyz)
+        p = jnp.concatenate([hi, lo, feats], axis=-1)
+        split = True
+    else:
+        p = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+        split = False
+    Cp = p.shape[-1]
+    F = feats.shape[-1]
+
+    s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))
+    s_tile = 1 << (s_tile.bit_length() - 1)
+    while S % s_tile:
+        s_tile //= 2
+
+    kernel = functools.partial(
+        _group_knn_smajor_kernel, k=k, split_xyz=split, n=N,
+        s_tile=s_tile, n_feat=F,
+    )
+    isz = p.dtype.itemsize
+    vmem = (
+        6 * N * s_tile * 4  # distance tile + selector/compare temporaries
+        # the 8-slot store group unrolls: 8 live gather/comb sets
+        + 8 * s_tile * (Cp + 3 + F) * 4
+        + 2 * N * (Cp + 4) * isz
+        + 2 * s_tile * k * (3 * 4 + F * isz + 4)
+        + (8 << 20)
+    )
+    gx, gf, idx = pl.pallas_call(
+        kernel,
+        grid=(B, S // s_tile),
+        in_specs=[
+            pl.BlockSpec((None, 3, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, s_tile, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((None, N, Cp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, 1, N), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, s_tile, k, 3), lambda b, s: (b, s, 0, 0)),
+            pl.BlockSpec((None, s_tile, k, F), lambda b, s: (b, s, 0, 0)),
+            pl.BlockSpec((None, s_tile, k), lambda b, s: (b, s, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, k, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, k, F), feats.dtype),
+            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_tile, N), jnp.float32),
+            pltpu.VMEM((s_tile, 3 + F), jnp.float32),
+            pltpu.VMEM((s_tile, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 << 20)
+        ),
+        interpret=interpret,
+    )(xyz_t, cents, p, jnp.swapaxes(pen, 1, 2))
+    out = (gx, gf, idx)
+    return out, (idx, xyz[:, :, :0], feats[:, :, :0], new_xyz[:, :0])
+
+
+def _gg_knn_bwd(k, interpret, res, cots):
+    idx, xyz0, feats0, nx0 = res
+    N = xyz0.shape[1]
+    dgx, dgf = cots[0], cots[1]  # (B, S, k, 3) f32, (B, S, k, F); idx non-diff
+    B, S = idx.shape[0], idx.shape[1]
+    g = jnp.concatenate(
+        [dgx.astype(jnp.float32), dgf.astype(jnp.float32)], axis=-1
+    ).reshape(B, S * k, -1)  # already row-major: no transpose
+    if feats0.dtype == jnp.bfloat16:
+        g = g.astype(jnp.bfloat16)  # grads are activation-precision anyway
+    scat = scatter_rows_pallas(g, idx.reshape(B, -1), N, interpret=interpret)
+    d_xyz = scat[..., :3].astype(xyz0.dtype)
+    d_feats = scat[..., 3:].astype(feats0.dtype)
+    return (d_xyz, d_feats, jnp.zeros((B, S, nx0.shape[-1]), nx0.dtype),
+            jnp.zeros((B, N, 1), jnp.float32))
+
+
+grouped_gather_knn.defvjp(_gg_knn_fwd, _gg_knn_bwd)
+
+
 ############################ FPS ############################
 
 

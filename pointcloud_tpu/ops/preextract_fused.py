@@ -440,8 +440,11 @@ def _batch_block(B, R, Cmax, isz):
     roofline at PointNet2 B=256, benchmarks/trace_top_ops.py). Blocking
     bb elements per step — a free (B, R, C) -> (B/bb, bb*R, C) bitcast —
     amortizes it; target ~8 MB per h block, bwd holds ~6 of them."""
+    import os
+
+    target = int(os.environ.get("PCTPU_BB_TARGET_MB", "8")) << 20
     bb = 1
-    while B % (bb * 2) == 0 and (bb * 2) * R * Cmax * isz <= (8 << 20):
+    while B % (bb * 2) == 0 and (bb * 2) * R * Cmax * isz <= target:
         bb *= 2
     return bb
 

@@ -478,3 +478,104 @@ def test_sample_and_group_fused_path_matches_xla(rng, monkeypatch):
             np.asarray(a).astype(np.float32),
             np.asarray(b).astype(np.float32), atol=1e-6, err_msg=name,
         )
+
+
+def test_grouped_gather_knn_smajor_matches_xla(rng):
+    """S-major kNN kernel == the XLA knn+gather composition (k % 8 == 0
+    routes group_neighbors to grouped_gather_knn)."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((2, 96, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 96, 5), dtype=np.float32))
+    cents = xyz[:, ::6, :]
+    gx, gf, idx, valid = group_neighbors(
+        xyz, feats, cents, 8, radius=None, impl="pallas", interpret=True
+    )
+    rx, rf, ridx, _ = group_neighbors(
+        xyz, feats, cents, 8, radius=None, impl="xla", approx=False
+    )
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
+    # each query's own point is its nearest neighbor
+    np.testing.assert_array_equal(
+        np.asarray(idx)[:, :, 0], np.broadcast_to(np.arange(0, 96, 6), (2, 16))
+    )
+
+
+def test_grouped_gather_knn_smajor_bf16_multitile(rng):
+    """bf16 split-xyz path + S > s_tile grid; feats selected exactly."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    feats = jnp.asarray(
+        rng.random((1, 64, 4), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    cents = jnp.asarray(rng.random((1, 512, 3), dtype=np.float32))
+    gx, gf, idx, _ = group_neighbors(
+        xyz, feats, cents, 8, radius=None, impl="pallas", interpret=True
+    )
+    _, _, ridx, _ = group_neighbors(
+        xyz, feats, cents, 8, radius=None, impl="xla", approx=False
+    )
+    assert gf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    xn, fn, idxn = np.asarray(xyz), np.asarray(feats), np.asarray(idx)
+    np.testing.assert_allclose(
+        np.asarray(gx), xn[np.zeros_like(idxn), idxn], atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gf.astype(jnp.float32)),
+        fn[np.zeros_like(idxn), idxn].astype(np.float32),
+    )
+
+
+def test_grouped_gather_knn_smajor_underfilled_mask(rng):
+    """Fewer valid points than k: empty slots replicate slot 0 (the nearest
+    valid point) — the documented underfilled-mask semantics."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((1, 64, 2), dtype=np.float32))
+    cents = jnp.asarray(rng.random((1, 8, 3), dtype=np.float32))
+    mask = np.zeros((1, 64), bool)
+    mask[0, [7, 20, 33]] = True  # 3 valid < k=8
+    gx, gf, idx, _ = group_neighbors(
+        xyz, feats, cents, 8, radius=None, mask=jnp.asarray(mask),
+        impl="pallas", interpret=True,
+    )
+    rx, rf, ridx, _ = group_neighbors(
+        xyz, feats, cents, 8, radius=None, mask=jnp.asarray(mask),
+        impl="xla", approx=False,
+    )
+    idxn = np.asarray(idx)
+    assert np.isin(idxn, [7, 20, 33]).all()
+    np.testing.assert_array_equal(idxn, np.asarray(ridx))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
+
+
+def test_grouped_gather_knn_smajor_grad(rng):
+    """VJP parity vs XLA autodiff (gradients to xyz and feats; selection
+    non-differentiable; new_xyz gets zeros like top_k+gather autodiff)."""
+    from pointcloud_tpu.ops.geometry import group_neighbors
+
+    xyz = jnp.asarray(rng.random((2, 48, 3), dtype=np.float32))
+    feats = jnp.asarray(rng.random((2, 48, 4), dtype=np.float32))
+    cents = jnp.asarray(rng.random((2, 16, 3), dtype=np.float32))
+    wx = jnp.asarray(rng.random((2, 16, 8, 3), dtype=np.float32))
+    wf = jnp.asarray(rng.random((2, 16, 8, 4), dtype=np.float32))
+
+    def loss(f, x, impl):
+        gx, gf, _, _ = group_neighbors(
+            x, f, cents, 8, radius=None, impl=impl,
+            interpret=(impl == "pallas"),
+            **({} if impl == "pallas" else {"approx": False}),
+        )
+        return jnp.sum(gx * wx) + jnp.sum(gf * wf)
+
+    gf_p, gx_p = jax.grad(loss, argnums=(0, 1))(feats, xyz, "pallas")
+    gf_x, gx_x = jax.grad(loss, argnums=(0, 1))(feats, xyz, "xla")
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), atol=1e-5)
