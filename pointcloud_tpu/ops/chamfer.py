@@ -100,6 +100,12 @@ def _nn_fwd(x, y, xw, yw):
     return (min_x, min_y), (x, y, xw, yw, amin_x, amin_y)
 
 
+# One-hot selector pairs of the fused backward kernel are (N, M) bf16 VMEM
+# residents; above this cost-matrix size the composition path (flat gathers
+# + scatter_rows_pallas) takes over. 2048-point clouds are 4.2M.
+_FUSED_BWD_MAX_ELEMENTS = 1 << 23
+
+
 def _nn_bwd(res, grads):
     x, y, xw, yw, amin_x, amin_y = res
     gx, gy = grads  # (B, N), (B, M)
@@ -107,6 +113,18 @@ def _nn_bwd(res, grads):
     # in the chamfer means, but zero them defensively anyway
     gx = gx * (xw > 0.5)
     gy = gy * (yw > 0.5)
+
+    B, N, C = x.shape
+    M = y.shape[1]
+    if _use_pallas() and C <= 8 and N * M <= _FUSED_BWD_MAX_ELEMENTS:
+        # fused gather+term+segment-sum kernel: the XLA composition below
+        # runs its elementwise terms at 3/128 lane utilization and its row
+        # gathers in column-major layouts (~16 ms of a B=256 PointNet step)
+        from pointcloud_tpu.ops.pallas_kernels import chamfer_nn_bwd_pallas
+
+        dx, dy = chamfer_nn_bwd_pallas(x, y, gx, gy, amin_x, amin_y)
+        return (dx.astype(x.dtype), dy.astype(y.dtype),
+                jnp.zeros_like(xw), jnp.zeros_like(yw))
 
     y_near = _flat_gather(y, amin_x)  # (B, N, 3)
     term_x = 2.0 * gx[..., None] * (x - y_near)  # rows aligned to x

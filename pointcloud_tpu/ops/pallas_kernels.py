@@ -352,6 +352,152 @@ def nearest_neighbor_pallas(
     return minx[..., 0], aminx[..., 0], miny[:, 0, :], aminy[:, 0, :]
 
 
+def _split3_rows(v: jax.Array, barrier: bool = False) -> jax.Array:
+    """fp32 (C, L) -> (3C, L) bf16 [hi; mid; lo] with hi+mid+lo == v to
+    ~2^-24 relative: the 3-way split that lets one-hot MXU dots move fp32
+    values exactly enough at bf16 speed (same trick as chamfer's
+    scatter_rows_pallas packing, here built in-VMEM). barrier=True (set in
+    interpret mode, where the kernel body runs under XLA) keeps XLA's
+    allow-excess-precision pass from folding f32(bf16(v)) -> v, which
+    would zero the tails; Mosaic lowers casts literally and does not
+    support (or need) optimization_barrier."""
+    def trunc(a):
+        b = a.astype(jnp.bfloat16)
+        return jax.lax.optimization_barrier(b) if barrier else b
+
+    hi = trunc(v)
+    r1 = v - hi.astype(jnp.float32)
+    mid = trunc(r1)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
+def _fold3_rows(a: jax.Array, c: int) -> jax.Array:
+    """(3C, L) f32 -> (C, L): undo _split3_rows after a linear op."""
+    return a[0:c, :] + a[c : 2 * c, :] + a[2 * c : 3 * c, :]
+
+
+def _dot_bf16(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _chamfer_bwd_kernel(xt_ref, yt_ref, gx_ref, gy_ref, ax_ref, ay_ref,
+                        dxt_ref, dyt_ref, *, n, m, c, bb, interp):
+    """Fused chamfer/NN backward: gather + term + segment-sum in one program.
+
+    Math (ops/chamfer.py:_nn_bwd): with nearest indices amin_x/amin_y and
+    cotangents gx/gy of the min distances,
+        term_x = 2*gx*(x - y[amin_x]);  term_y = 2*gy*(y - x[amin_y])
+        dx = term_x - segsum(term_y -> amin_y)
+        dy = term_y - segsum(term_x -> amin_x)
+    The XLA composition of this (flat gathers + elementwise terms + the
+    packed scatter_rows_pallas calls) spent ~16 ms of a B=256 PointNet AE
+    train step, almost all of it in lane-starved layouts: every elementwise
+    op on a (B, N, 3) tensor runs at 3/128 lane utilization, and the two
+    row-gather fusions picked column-major T(4,128) layouts (~2.7 ms each;
+    benchmarks/trace_top_ops.py compute-track listing).
+
+    Here everything is C-MAJOR, (C, N): one-hot selectors are built from
+    index compares in VMEM and every gather/segment-sum is a dot whose
+    PADDED dimension (3C <= 24 -> 8-sublane tiles) sits on sublanes, so the
+    four dots cost ~16/8 of a (C, N) pass each instead of the 128-lane-pad
+    penalty of the row-major orientation (8x less MXU work). The 3-way
+    split keeps fp32 exactness through the bf16 dots; gathered values are
+    exact (one-hot rows), matching the flat-gather + fold=3 scatter path
+    bit-for-bit up to f32 summation order.
+    """
+    for i in range(bb):
+        xt = xt_ref[i]  # (C, N) f32
+        yt = yt_ref[i]  # (C, M) f32
+        gxv = gx_ref[i]  # (1, N) f32, pre-masked by the wrapper
+        gyv = gy_ref[i]  # (1, M) f32
+        ax = ax_ref[i]  # (1, N) i32 in [0, M)
+        ay = ay_ref[i]  # (1, M) i32 in [0, N)
+
+        # G1T[j, r] = [amin_x_r == j]: column r one-hot-selects y row j
+        jrow_m = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+        g1t = (ax == jrow_m).astype(jnp.bfloat16)  # (M, N)
+        ypk = _split3_rows(yt, barrier=interp)  # (3C, M) bf16
+        y_near = _fold3_rows(
+            _dot_bf16(ypk, g1t, (((1,), (0,)))), c
+        )  # (C, N) f32: y[amin_x] gathered exactly
+        tx = 2.0 * gxv * (xt - y_near)  # (C, N) f32
+        txp = _split3_rows(tx, barrier=interp)
+        # segsum(term_x -> amin_x): contract the shared N axis
+        acc_dy = _dot_bf16(txp, g1t, (((1,), (1,))))  # (3C, M) f32
+
+        # OTT[i_, j] = [amin_y_j == i_]
+        irow_n = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        ott = (ay == irow_n).astype(jnp.bfloat16)  # (N, M)
+        xpk = _split3_rows(xt, barrier=interp)  # (3C, N)
+        x_near = _fold3_rows(
+            _dot_bf16(xpk, ott, (((1,), (0,)))), c
+        )  # (C, M): x[amin_y]
+        ty = 2.0 * gyv * (yt - x_near)  # (C, M)
+        dyt_ref[i] = ty - _fold3_rows(acc_dy, c)
+        typ = _split3_rows(ty, barrier=interp)  # (3C, M)
+        # segsum(term_y -> amin_y): contract the shared M axis
+        dx_scat = _dot_bf16(typ, ott, (((1,), (1,))))  # (3C, N)
+        dxt_ref[i] = tx - _fold3_rows(dx_scat, c)
+
+
+def chamfer_nn_bwd_pallas(x, y, gx, gy, amin_x, amin_y, interpret=False):
+    """Fused backward of nearest_neighbor_dists (see _chamfer_bwd_kernel).
+
+    x (B, N, C) f32, y (B, M, C) f32, gx (B, N) f32 (already zeroed on
+    masked rows), gy (B, M) f32, amin_x (B, N) i32, amin_y (B, M) i32.
+    Returns (dx (B, N, C), dy (B, M, C)) f32. C <= 8.
+    """
+    B, N, C = x.shape
+    M = y.shape[1]
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)  # (B, C, N)
+    yt = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
+    bb = 1
+    while B % (bb * 2) == 0 and bb < 4:
+        bb *= 2
+    kernel = functools.partial(_chamfer_bwd_kernel, n=N, m=M, c=C, bb=bb,
+                               interp=interpret)
+    vmem = (
+        2 * N * M * 2  # the two bf16 one-hot selectors
+        + 2 * N * M * 4  # index-compare iota operands (i32)
+        + 24 * 8 * max(N, M) * 4  # f32 (C<=8-sublane, L) temporaries
+        + (24 << 20)
+    )
+    dxt, dyt = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, C, N), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, C, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, N), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, N), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, M), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, C, N), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bb, C, M), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, M), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 << 20)
+        ),
+        interpret=interpret,
+    )(
+        xt, yt,
+        gx.astype(jnp.float32)[:, None, :], gy.astype(jnp.float32)[:, None, :],
+        amin_x.astype(jnp.int32)[:, None, :],
+        amin_y.astype(jnp.int32)[:, None, :],
+    )
+    return jnp.swapaxes(dxt, 1, 2), jnp.swapaxes(dyt, 1, 2)
+
+
 ############################ fused neighborhood grouping ############################
 
 

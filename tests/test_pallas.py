@@ -579,3 +579,72 @@ def test_grouped_gather_knn_smajor_grad(rng):
     gf_x, gx_x = jax.grad(loss, argnums=(0, 1))(feats, xyz, "xla")
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), atol=1e-5)
+
+
+def test_chamfer_nn_bwd_fused_matches_composition(rng):
+    """Fused chamfer backward kernel == the gather+term+scatter composition
+    (exact one-hot gathers; 3-way-split segment sums)."""
+    from pointcloud_tpu.ops import chamfer as ch
+    from pointcloud_tpu.ops.pallas_kernels import chamfer_nn_bwd_pallas
+
+    B, N, M = 2, 96, 64
+    x = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((B, M, 3), dtype=np.float32))
+    gx = jnp.asarray(rng.random((B, N), dtype=np.float32)) - 0.5
+    gy = jnp.asarray(rng.random((B, M), dtype=np.float32)) - 0.5
+    xw = jnp.ones((B, N), jnp.float32)
+    yw = jnp.ones((B, M), jnp.float32)
+    _, amin_x, _, amin_y = ch._nn_forward(x, y, xw, yw)
+
+    dx_k, dy_k = chamfer_nn_bwd_pallas(
+        x, y, gx, gy, amin_x, amin_y, interpret=True
+    )
+
+    # composition reference (the XLA fallback inside _nn_bwd)
+    y_near = ch._flat_gather(y, amin_x)
+    term_x = 2.0 * gx[..., None] * (x - y_near)
+    x_near = ch._flat_gather(x, amin_y)
+    term_y = 2.0 * gy[..., None] * (y - x_near)
+    dx_r, dy_r = ch._combine_nn_grads(
+        term_x, term_y, amin_x, amin_y, impl="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_k), np.asarray(dx_r), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dy_k), np.asarray(dy_r), atol=2e-6
+    )
+
+
+def test_chamfer_grad_fused_bwd_parity(rng, monkeypatch):
+    """grad(chamfer_distance) through the fused backward kernel (interpret
+    mode, masked + unmasked) == pure-XLA autodiff-equivalent path."""
+    from pointcloud_tpu.ops import chamfer as ch
+    from pointcloud_tpu.ops import pallas_kernels as pk
+    from pointcloud_tpu.ops.chamfer import chamfer_distance
+
+    B, N, M = 2, 64, 96
+    x = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((B, M, 3), dtype=np.float32))
+    x_mask = jnp.asarray(rng.random((B, N)) > 0.2)
+    y_mask = jnp.asarray(rng.random((B, M)) > 0.2)
+
+    def loss(x_, y_):
+        return chamfer_distance(x_, y_, x_mask=x_mask, y_mask=y_mask)
+
+    gx_ref, gy_ref = jax.grad(loss, argnums=(0, 1))(x, y)
+
+    orig = pk.chamfer_nn_bwd_pallas
+    monkeypatch.setattr(
+        pk, "chamfer_nn_bwd_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    orig_nn = pk.nearest_neighbor_pallas
+    monkeypatch.setattr(
+        pk, "nearest_neighbor_pallas",
+        lambda *a, **k: orig_nn(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(ch, "_use_pallas", lambda: True)
+    gx_k, gy_k = jax.grad(loss, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy_k), np.asarray(gy_ref), atol=1e-6)
