@@ -124,9 +124,10 @@ def main():
     )
     # Gated metric (VERDICT r2 weak #8): a train-step regression fails the
     # bench loudly instead of hiding behind the fwd-only headline. Floor =
-    # ~20% below the measured 4,375 clouds/s (benchmarks/RESULTS.md).
+    # ~20% below the measured 6,307 clouds/s (benchmarks/RESULTS.md; fused
+    # C-major chamfer backward kernel).
     if jax.default_backend() in ("tpu", "axon"):
-        TRAIN_STEP_FLOOR = 3500.0
+        TRAIN_STEP_FLOOR = 5000.0
         assert train_clouds_per_sec >= TRAIN_STEP_FLOOR, (
             f"train-step throughput regressed: {train_clouds_per_sec:,.0f} "
             f"< {TRAIN_STEP_FLOOR:,.0f} clouds/s"
