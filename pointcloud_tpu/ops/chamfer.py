@@ -102,8 +102,13 @@ def _nn_fwd(x, y, xw, yw):
 
 # One-hot selector pairs of the fused backward kernel are (N, M) bf16 VMEM
 # residents; above this cost-matrix size the composition path (flat gathers
-# + scatter_rows_pallas) takes over. 2048-point clouds are 4.2M.
-_FUSED_BWD_MAX_ELEMENTS = 1 << 23
+# + scatter_rows_pallas) takes over. The ceiling is derived from the
+# kernel's 120 MB vmem_limit clamp (ADVICE r3 #2): per cost-matrix element
+# it holds 2 bf16 selectors (4 B) + 2 i32 iota compare operands (8 B), so
+# 6M elements = ~72 MB + the ~24 MB base budget + temporaries stays under
+# the clamp, where the old 1<<23 (8.4M) could hit a Mosaic allocation
+# failure at compile time. 2048-point clouds (4.2M) still take this path.
+_FUSED_BWD_MAX_ELEMENTS = 6 << 20
 
 
 def _nn_bwd(res, grads):

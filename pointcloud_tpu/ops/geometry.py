@@ -154,6 +154,15 @@ def _use_pallas() -> bool:
         return False
 
 
+def _ball_kernel_ok(k: int, n: int) -> bool:
+    """Fused ball-mode exactness envelope (ADVICE r3 #1): ranks ride a bf16
+    tile (k <= 256) and indices ride bf16 hi/lo channels (N <= 16384);
+    outside it dispatch falls back to the XLA ball_query composition."""
+    from pointcloud_tpu.ops.pallas_kernels import BALL_MAX_K, BALL_MAX_N
+
+    return k <= BALL_MAX_K and n <= BALL_MAX_N
+
+
 def group_neighbors(
     xyz: Array,
     feats: Array | None,
@@ -199,7 +208,9 @@ def group_neighbors(
         )
         valid_b = jnp.ones(idx.shape, dtype=bool)
         return gx.astype(xyz.dtype), gf.astype(feats.dtype), idx, valid_b
-    if impl == "pallas" and feats is not None:
+    if impl == "pallas" and feats is not None and (
+        radius is None or _ball_kernel_ok(k, xyz.shape[1])
+    ):
         from pointcloud_tpu.ops.pallas_kernels import grouped_gather
 
         B, N, _ = xyz.shape
@@ -258,7 +269,8 @@ def sample_and_group(
         new_mask = jnp.ones(fps_idx.shape, dtype=bool)
 
     if (not use_knn and features is not None and nsample % 8 == 0
-            and _use_pallas()):
+            and _use_pallas()
+            and _ball_kernel_ok(nsample, xyz.shape[1])):
         # fused fast path: centered-xyz+feature gather lands directly in
         # SetAbstraction's (B, S, K, 3+F) layout — no XLA transpose/concat
         # glue (the S-major kernel; see pallas_kernels.grouped_gather_ball)

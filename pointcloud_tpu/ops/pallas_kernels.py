@@ -842,7 +842,27 @@ def grouped_gather(xyz, feats, new_xyz, pen, k, radius, interpret):
     return out
 
 
+# Ball-mode exactness envelope (ADVICE r3 #1): neighbor ranks ride a bf16
+# tile (integers exact only up to 256) and point indices ride bf16 hi/lo
+# channels (hi = i // 128 exact only while N/128 <= 128). Outside it the
+# kernels would silently corrupt slot selection — fail loudly instead;
+# callers (ops/geometry.py) gate their dispatch on the same bounds.
+BALL_MAX_K = 256
+BALL_MAX_N = 16384
+
+
+def _check_ball_ranges(k, n, name):
+    if k > BALL_MAX_K or n > BALL_MAX_N:
+        raise ValueError(
+            f"{name} ball mode needs k <= {BALL_MAX_K} (bf16 rank tile) and "
+            f"N <= {BALL_MAX_N} (bf16 hi/lo index channels); got k={k}, "
+            f"N={n} — use the XLA ball_query path for larger shapes"
+        )
+
+
 def _grouped_gather_fwd(xyz, feats, new_xyz, pen, k, radius, interpret):
+    if radius is not None:
+        _check_ball_ranges(k, xyz.shape[1], "grouped_gather")
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)
@@ -1056,6 +1076,7 @@ def _gg_ball_fwd(xyz, feats, new_xyz, pen, k, radius, interpret):
             f"grouped_gather_ball needs k % 8 == 0 (8-slot aligned stores); "
             f"got k={k} — use group_neighbors for other k"
         )
+    _check_ball_ranges(k, xyz.shape[1], "grouped_gather_ball")
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)

@@ -81,7 +81,19 @@ def _row_tile(rows: int, pool: int, C: int, aligned: bool = False) -> int:
     while nb % bpt and bpt > step:
         bpt -= step
     if nb % bpt or (aligned and bpt != nb and bpt % 8):
-        bpt = nb  # single tile: offsets are static
+        # single tile: offsets are static. This discards the ~512K-element
+        # tile budget, so fail loudly rather than silently blowing the
+        # backward pass's scoped-VMEM stack (ADVICE r3 #3): a single tile
+        # is only admissible while it stays within ~4x the budget.
+        if nb * pool * C > 4 * 512 * 1024:
+            raise ValueError(
+                f"_row_tile: rows//pool={nb} has no "
+                f"{'8-aligned ' if aligned else ''}divisor giving tiles "
+                f"<= ~512K elements, and one tile would be "
+                f"{nb * pool * C} elements (> 4x budget). Pad rows/pool "
+                f"to a power-of-two-friendly shape."
+            )
+        bpt = nb
     return bpt * pool
 
 

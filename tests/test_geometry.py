@@ -148,3 +148,41 @@ def test_ops_jit_compile(rng):
         return index_points(x, idx).sum()
 
     f(xyz).block_until_ready()
+
+
+def test_ball_kernel_range_guards(rng):
+    """ADVICE r3 #1: out-of-envelope ball shapes fail loudly, never corrupt."""
+    import pytest as _pytest
+
+    from pointcloud_tpu.ops.geometry import _ball_kernel_ok
+    from pointcloud_tpu.ops.pallas_kernels import (
+        grouped_gather_ball,
+        grouped_gather,
+    )
+
+    assert _ball_kernel_ok(24, 2048)
+    assert not _ball_kernel_ok(264, 2048)  # rank tile bf16 ceiling
+    assert not _ball_kernel_ok(24, 32768)  # hi/lo index channel ceiling
+
+    x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+    f = jnp.asarray(rng.random((1, 64, 4), dtype=np.float32))
+    c = x[:, :8]
+    pen = jnp.zeros((1, 64, 1), jnp.float32)
+    with _pytest.raises(ValueError, match="k <= 256"):
+        grouped_gather_ball(x, f, c, pen, 264, 0.5)
+    with _pytest.raises(ValueError, match="k <= 256"):
+        grouped_gather(x, f, c, pen, 264, 0.5, False)
+
+
+def test_row_tile_single_tile_cap():
+    """ADVICE r3 #3: the aligned single-tile fallback fails loudly above
+    ~4x the scoped-VMEM tile budget instead of blowing the Mosaic stack."""
+    import pytest as _pytest
+
+    from pointcloud_tpu.ops.preextract_fused import _row_tile
+
+    # power-of-two shapes keep their budgeted tiling
+    assert _row_tile(1024 * 24, 24, 128, aligned=True) % (8 * 24) == 0
+    # a prime group count with huge C cannot tile: loud error, not a hang
+    with _pytest.raises(ValueError, match="4x budget"):
+        _row_tile(997 * 24, 24, 4096, aligned=True)
