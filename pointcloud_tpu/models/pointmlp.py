@@ -84,8 +84,11 @@ class LocalGrouper(nn.Module):
         new_xyz = index_points(xyz, fps_idx)  # (B, G, 3)
         new_feats = index_points(feats, fps_idx)  # (B, G, D)
         grouped_xyz, grouped, _, _ = group_neighbors(
-            xyz, feats, new_xyz, self.kneighbors, radius=None, mask=mask
-        )  # (B, G, K, 3), (B, G, K, D); fused dist+kNN+gather on TPU
+            xyz, feats, new_xyz, self.kneighbors, radius=None, mask=mask,
+            with_xyz=self.use_xyz,
+        )  # (B, G, K, 3)|None, (B, G, K, D); fused dist+kNN+gather on TPU;
+        # with use_xyz=False (both shipped configs) the grouped-xyz output
+        # and its strided HBM writes are skipped entirely
         if self.use_xyz:
             grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
 

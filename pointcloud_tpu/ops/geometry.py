@@ -173,6 +173,7 @@ def group_neighbors(
     impl: str = "auto",
     interpret: bool = False,
     approx: bool | None = None,
+    with_xyz: bool = True,
 ):
     """Neighborhood grouping + gather in one step.
 
@@ -180,10 +181,15 @@ def group_neighbors(
     radius=None -> kNN (pointmlp.py:106-124 semantics); radius set -> ball
     query with pad-with-nearest (pointnet2_utils.py:93-113 semantics).
     Returns:
-      grouped_xyz (B, S, k, 3) — NOT centered,
+      grouped_xyz (B, S, k, 3) — NOT centered; None if with_xyz=False,
       grouped_feats (B, S, k, F) or None,
       idx (B, S, k) int32,
       valid (B, S, k) bool (all True in kNN mode, in-ball flag otherwise).
+
+    with_xyz=False skips grouped_xyz: on the fused kNN path this drops the
+    (B, S, k, 3) output whose 3-lane tiles cost 12-byte strided HBM writes
+    worth ~half the kernel runtime (LocalGrouper ships use_xyz=False and
+    never reads it).
 
     impl='auto' fuses dist+select+gather into one Pallas program on TPU
     (exact selection — no approx_max_k — one MXU dot per neighbor slot;
@@ -192,17 +198,31 @@ def group_neighbors(
     """
     if impl == "auto":
         impl = "pallas" if (_use_pallas() and feats is not None) else "xla"
-    if impl == "pallas" and feats is not None and radius is None and k % 8 == 0:
+    if (impl == "pallas" and feats is not None and radius is None
+            and k % 8 == 0):
         # S-major kNN kernel: gathers land in the public row-major
         # (B, S, k, C) layout directly — the (B, k, C, S) legacy kernel
         # forced ~100 MB XLA relayout copies per grouped tensor per step
-        # (see pallas_kernels._group_knn_smajor_kernel)
-        from pointcloud_tpu.ops.pallas_kernels import grouped_gather_knn
+        # (see pallas_kernels._group_knn_smajor_kernel). Slot order is
+        # distance order with lowest-index tie-break (lax.top_k parity);
+        # indices come from the in-kernel argmin, so there is no bf16 N
+        # ceiling on this path.
+        from pointcloud_tpu.ops.pallas_kernels import (
+            grouped_gather_knn,
+            grouped_gather_knn_feats,
+        )
 
         B, N, _ = xyz.shape
         pen = jnp.zeros((B, N, 1), jnp.float32)
         if mask is not None:
             pen = jnp.where(mask[..., None], 0.0, jnp.float32(1e9))
+        valid_shape = (B, new_xyz.shape[1], k)
+        if not with_xyz:
+            gf, idx = grouped_gather_knn_feats(
+                xyz[..., :3], feats, new_xyz, pen, k, interpret
+            )
+            return (None, gf.astype(feats.dtype), idx,
+                    jnp.ones(valid_shape, dtype=bool))
         gx, gf, idx = grouped_gather_knn(
             xyz[..., :3], feats, new_xyz, pen, k, interpret
         )
@@ -227,6 +247,8 @@ def group_neighbors(
         valid_b = jnp.swapaxes(valid, 1, 2) > 0.5
         if radius is None:
             valid_b = jnp.ones_like(valid_b)
+        if not with_xyz:
+            grouped_xyz = None
         return grouped_xyz, grouped_feats, jnp.swapaxes(idx, 1, 2), valid_b
 
     if radius is None:
@@ -234,7 +256,7 @@ def group_neighbors(
         valid = jnp.ones(idx.shape, dtype=bool)
     else:
         idx, valid = ball_query(radius, k, xyz, new_xyz, mask=mask, approx=approx)
-    grouped_xyz = index_points(xyz[..., :3], idx)
+    grouped_xyz = index_points(xyz[..., :3], idx) if with_xyz else None
     grouped_feats = index_points(feats, idx) if feats is not None else None
     return grouped_xyz, grouped_feats, idx, valid
 

@@ -1175,8 +1175,7 @@ grouped_gather_ball.defvjp(_gg_ball_fwd, _gg_ball_bwd)
 
 
 def _group_knn_smajor_kernel(
-    xyz_ref, cents_ref, p_ref, pen_ref, gx_ref, gf_ref, idx_ref,
-    d_ref, g0_ref, idx0_ref, *, k, split_xyz, n, s_tile, n_feat,
+    *refs, k, split_xyz, emit_xyz, n, s_tile, n_feat, bb,
 ):
     """S-major fused kNN grouping (reference knn_point, pointmlp.py:106-124).
 
@@ -1184,78 +1183,286 @@ def _group_knn_smajor_kernel(
     LocalGrouper through five ~100 MB XLA layout copies per train step at
     B=32 (813 MB/step of pure relayout traffic, benchmarks/trace_top_ops.py)
     — the same disease the ball-mode S-major rework cured for PointNet2.
-    This variant keeps centroids on SUBLANES: the distance tile is
-    (S_t, N), min-extraction reduces over lanes, each slot's gather is one
-    (S_t, N) @ (N, Cp) MXU dot whose (S_t, Cp) result is already row-major,
-    and stores land in the public (B, S, k, C) contract directly.
+    This variant keeps centroids on SUBLANES: distance tiles are
+    (bb*S_t, N) with `bb` batch elements stacked as sublane bands, slot
+    gathers are (8*S_t, N) @ (N, Cp) MXU dots whose row-major results land
+    directly in the public (B, S, k, C) contract.
 
-    Selection semantics are identical to _group_kernel's kNN mode:
-    iterative lane-min with deterministic lowest-index tie-break (the top_k
-    convention); slots past the valid count replicate slot 0 (the nearest
-    valid point — the documented underfilled-mask semantics).
+    Selection: iterative lane-min extraction with deterministic
+    lowest-index tie-break — slot order IS distance order, matching
+    torch.topk / lax.top_k exactly. (A bit-radix threshold + prefix-count
+    rank variant was benchmarked in round 4 and lost: 31 dependent
+    compare+count passes over the (rows, N) tile cost more VPU traffic
+    than k=24 min extractions at every shipped shape — 22.3 ms vs 16.5 ms
+    total over the four PointMLP stages at B=32.)
+
+    Two emission optimizations over the r3 kernel:
+    - 8 slot one-hots stack into sel_ref so each gather is ONE
+      (8*S_t, N) @ (N, Cp) MXU dot instead of 8 (S_t, N) dots.
+    - emit_xyz=False drops the grouped-xyz output AND its gather channels
+      entirely: a (B, S, k, 3) f32 output puts 3 elements on the 128-lane
+      axis, and its tile-padded 12-byte strided HBM writes are ~20% of the
+      kernel's runtime — while PointMLP's LocalGrouper (use_xyz=False, the
+      shipped config) discards grouped_xyz unread.
+
+    Slots past the valid count replicate slot 0 (the nearest valid point —
+    the documented underfilled-mask semantics).
     """
+    if emit_xyz:
+        (xyz_ref, cents_ref, p_ref, pen_ref, gx_ref, gf_ref, idx_ref,
+         d_ref, sel_ref, g0_ref, idx0_ref, cv_ref) = refs
+    else:
+        (xyz_ref, cents_ref, p_ref, pen_ref, gf_ref, idx_ref,
+         d_ref, sel_ref, g0_ref, idx0_ref, cv_ref) = refs
     BIG = jnp.float32(1e9)
     pdt = p_ref.dtype
-    laneid = jax.lax.broadcasted_iota(jnp.int32, (s_tile, n), 1)
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (s_tile, k), 1)
+    ones_n = jnp.ones((n, 1), jnp.bfloat16)
 
-    acc = pen_ref[0:1, :]  # (1, N) mask penalty, broadcasts over sublanes
-    for c in range(3):
-        diff = cents_ref[:, c : c + 1] - xyz_ref[c : c + 1, :]
-        acc = acc + diff * diff  # (s_tile, N)
-    d_ref[:, :] = acc
+    def count(ind):  # (rows, n) 0/1 f32 -> (rows, 1) f32, exact
+        return jax.lax.dot_general(
+            ind.astype(jnp.bfloat16), ones_n,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    # slots are processed 8 at a time so the (s_tile, 8, C) grp stores are
-    # always 8-aligned in dim 1 (same Mosaic constraint as the ball kernel)
-    def slot_group(jg, _):
+    for u in range(bb):
+        acc = pen_ref[u, 0:1, :]  # (1, N) mask penalty, broadcasts over rows
+        for c in range(3):
+            diff = cents_ref[u, :, c : c + 1] - xyz_ref[u, c : c + 1, :]
+            acc = acc + diff * diff  # (s_tile, N)
+        d_ref[u * s_tile : (u + 1) * s_tile, :] = acc
+    # valid-point count per centroid row (pad-slot selection threshold)
+    cv_ref[:, :] = count((d_ref[:, :] < 0.5 * BIG).astype(jnp.float32))
+
+    # extraction + emission, slots in groups of 8: each argmin runs over
+    # the FULL (bb*S_t, N) tile (one lane-reduce for all bands — every ref
+    # access in the hot loop is statically indexed; dynamic per-band
+    # sublane offsets measurably slow Mosaic's addressing), the 8 slot
+    # one-hots land in sel_ref band-major, and each band's gather is ONE
+    # (8*S_t, N) @ (N, Cp) MXU dot whose (s_tile, 8, C) stores stay
+    # 8-aligned in dim 2 (Mosaic constraint, same as the ball kernel).
+    # The slot-group loop MUST be a fori_loop: Mosaic's scoped stack does
+    # not reuse slots across unrolled iterations (~11 MB of live
+    # temporaries per group x k/8 groups blew the 128 MB space when
+    # unrolled).
+    Cp = p_ref.shape[-1]
+    xoff = 3 if emit_xyz else 0
+    rows = bb * s_tile
+    laneid_r = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    kiota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+
+    def group(jg, idxt):
         j0 = jg * 8
-        combx, combf = [], []
-        for u in range(8):
-            j = j0 + u
-            d = d_ref[:, :]
-            m = jnp.min(d, axis=1, keepdims=True)  # (s_tile, 1)
+        ims = []
+        for v in range(8):
+            d = d_ref[:, :]  # (rows, N)
+            m = jnp.min(d, axis=1, keepdims=True)  # (rows, 1)
             im = jnp.min(
-                jnp.where(d == m, laneid, n), axis=1, keepdims=True
+                jnp.where(d == m, laneid_r, n), axis=1, keepdims=True
             ).astype(jnp.int32)
-            one = laneid == im
+            one = laneid_r == im
             d_ref[:, :] = jnp.where(one, BIG, d)
-            gat = jax.lax.dot_general(
-                one.astype(pdt), p_ref[:, :],
+            oh = one.astype(pdt)
+            for u in range(bb):
+                sel_ref[(u * 8 + v) * s_tile : (u * 8 + v + 1) * s_tile, :] \
+                    = oh[u * s_tile : (u + 1) * s_tile, :]
+            ims.append(im)
+
+        gats = []
+        for u in range(bb):
+            gats.append(jax.lax.dot_general(
+                sel_ref[u * 8 * s_tile : (u + 1) * 8 * s_tile, :],
+                p_ref[u, :, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=(None if pdt == jnp.bfloat16
                            else jax.lax.Precision.HIGHEST),
-            )  # (s_tile, Cp) f32
-            if split_xyz:
-                gx = gat[:, 0:3] + gat[:, 3:6]
-                base = 6
-            else:
-                gx = gat[:, 0:3]
-                base = 3
-            gf = gat[:, base : base + n_feat]
-            vb = m < jnp.float32(0.5) * BIG  # (s_tile, 1)
+            ))  # (8*s_tile, Cp) f32, p band indexed statically
 
-            if u == 0:
-                @pl.when(jg == 0)
-                def _():
-                    g0_ref[:, :] = jnp.concatenate([gx, gf], axis=-1)
-                    idx0_ref[:, :] = im
+        combx = [[] for _ in range(bb)]
+        combf = [[] for _ in range(bb)]
+        for v in range(8):
+            j = j0 + v
+            jf = jax.lax.convert_element_type(j, jnp.float32)
+            ivs = []
+            for u in range(bb):
+                r0 = u * s_tile
+                gat = gats[u][v * s_tile : (v + 1) * s_tile, :]
+                im = ims[v][r0 : r0 + s_tile, :]
+                if emit_xyz:
+                    gx = (gat[:, 0:3] + gat[:, 3:6]) if split_xyz \
+                        else gat[:, 0:3]
+                else:
+                    gx = None
+                gf = gat[:, xoff * (2 if split_xyz else 1):][:, :n_feat]
+                vb = jf < cv_ref[r0 : r0 + s_tile, :]  # (s_tile, 1)
 
-            # at j == 0 the scratch holds this slot's values -> the pad
-            # select is the identity there (slot 0 is always emitted)
-            combx.append(jnp.where(vb, gx, g0_ref[:, 0:3]))
-            combf.append(jnp.where(vb, gf, g0_ref[:, 3 : 3 + n_feat]))
-            # idx has k on LANES: dynamic lane stores don't lower, so write
-            # the full tile with a lane mask (k*k per slot — tiny)
-            iv = jnp.where(vb, im, idx0_ref[:, :])
-            idx_ref[:, :] = jnp.where(kiota == j, iv, idx_ref[:, :])
-        gx_ref[:, pl.ds(j0, 8), :] = jnp.stack(combx, axis=1)
-        gf_ref[:, pl.ds(j0, 8), :] = jnp.stack(
-            combf, axis=1
-        ).astype(gf_ref.dtype)
-        return 0
+                if v == 0:
+                    @pl.when(jg == 0)
+                    def _(gx=gx, gf=gf, im=im, r0=r0):
+                        if emit_xyz:
+                            g0_ref[r0 : r0 + s_tile, :] = jnp.concatenate(
+                                [gx, gf], axis=-1
+                            )
+                        else:
+                            g0_ref[r0 : r0 + s_tile, :] = gf
+                        idx0_ref[r0 : r0 + s_tile, :] = im
 
-    jax.lax.fori_loop(0, k // 8, slot_group, 0)
+                # at j == 0 the scratch holds this slot's values -> the pad
+                # select is the identity there (slot 0 is always emitted)
+                g0 = g0_ref[r0 : r0 + s_tile, :]
+                if emit_xyz:
+                    combx[u].append(jnp.where(vb, gx, g0[:, 0:3]))
+                combf[u].append(jnp.where(vb, gf, g0[:, xoff : xoff + n_feat]))
+                ivs.append(jnp.where(vb, im, idx0_ref[r0 : r0 + s_tile, :]))
+            # idx has k on LANES: dynamic lane stores don't lower — carry
+            # the (rows, k) tile and lane-mask one slot per pass
+            idxt = jnp.where(
+                kiota_r == j, jnp.concatenate(ivs, axis=0), idxt
+            )
+        for u in range(bb):
+            if emit_xyz:
+                gx_ref[u : u + 1, :, pl.ds(j0, 8), :] = jnp.stack(
+                    combx[u], axis=1
+                ).reshape(1, s_tile, 8, 3)
+            gf_ref[u : u + 1, :, pl.ds(j0, 8), :] = jnp.stack(
+                combf[u], axis=1
+            ).astype(gf_ref.dtype).reshape(1, s_tile, 8, n_feat)
+        return idxt
+
+    idxt = jax.lax.fori_loop(
+        0, k // 8, group, jnp.zeros((rows, k), jnp.int32)
+    )
+    for u in range(bb):
+        idx_ref[u : u + 1, :, :] = idxt[
+            u * s_tile : (u + 1) * s_tile, :
+        ].reshape(1, s_tile, k)
+
+
+def _gg_knn_call(xyz, feats, new_xyz, pen, k, interpret, emit_xyz):
+    """Shared fwd driver for grouped_gather_knn / grouped_gather_knn_feats.
+
+    Returns (gx, gf, idx) with gx=None when emit_xyz is False (the xyz
+    gather channels are then dropped from the MXU dot entirely)."""
+    if k % 8:
+        raise ValueError(
+            f"grouped_gather_knn needs k % 8 == 0 (8-slot aligned stores); "
+            f"got k={k} — use group_neighbors' XLA path for other k"
+        )
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
+    cents = new_xyz[..., :3].astype(jnp.float32)  # (B, S, 3)
+    # selection indices come straight from the in-kernel argmin (i32), so
+    # no index channels ride the gather dot and there is no bf16 N ceiling
+    if feats.dtype == jnp.bfloat16:
+        if emit_xyz:
+            # xyz rides the bf16 dot as exact hi/lo split channels
+            hi, lo = _split_bf16(xyz)
+            p = jnp.concatenate([hi, lo, feats], axis=-1)
+        else:
+            p = feats
+        split = True
+    else:
+        if emit_xyz:
+            p = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
+        else:
+            p = feats.astype(jnp.float32)
+        split = False
+    Cp = p.shape[-1]
+    F = feats.shape[-1]
+
+    s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))
+    s_tile = 1 << (s_tile.bit_length() - 1)
+    while S % s_tile:
+        s_tile //= 2
+
+    # batch bands amortize per-grid-step overhead (input DMA setup); bound
+    # rows = bb*s_tile by a ~2 MB distance tile so Mosaic's live (rows, N)
+    # temporaries stay within the scoped-VMEM budget.
+    rows_budget = max(8, (2 << 20) // (N * 4))
+    bb = max(1, min(8, rows_budget // s_tile))
+    while B % bb:
+        bb -= 1
+    # Mosaic does not reuse stack slots across the 8 unrolled argmin passes
+    # (~2 live (s_tile, N) f32 temporaries each per band) nor across the
+    # unrolled per-band emission (gather result + pad-select temps). The
+    # scoped-stack model below (x1.25 safety) reproduces the compiler's
+    # measured allocations within ~5% on the shapes that OOM'd during
+    # bring-up (94.3 MB at stage-4 bb=8, 103.8 MB at stage-3-xyz bb=4);
+    # bound bb so the grant stays under 112 MB — past that the pipeline's
+    # window buffers no longer fit in the 128 MB core and Mosaic falls off
+    # a ~20x serialization cliff (measured, round 4).
+    xoffF = (3 if emit_xyz else 0) + F
+    isz = p.dtype.itemsize
+
+    def _scoped_est(b):
+        ext = 16 * s_tile * N * 4 * b
+        # xyz emission keeps an extra set of pad-select temporaries live
+        # (combx tiles pad 3 lanes -> 128): measured 125.3 MB at stage-4
+        # bb=8 vs 94.3 MB for the feats-only variant of the same shape
+        emit = 8 * s_tile * 4 * (Cp + (3 if emit_xyz else 2) * xoffF) * b
+        sel = b * 8 * s_tile * N * isz
+        return (ext + emit + sel + (16 << 20)) * 5 // 4
+
+    while bb > 1 and _scoped_est(bb) > (112 << 20):
+        bb -= 1
+    while B % bb:
+        bb -= 1
+
+    kernel = functools.partial(
+        _group_knn_smajor_kernel, k=k, split_xyz=split, emit_xyz=emit_xyz,
+        n=N, s_tile=s_tile, n_feat=F, bb=bb,
+    )
+    # grant exactly the modeled scoped need (floor 72 MB): over-granting
+    # starves the pipeline windows and serializes the grid (the 20x cliff
+    # noted above), under-granting fails the compile outright
+    vmem = max(_scoped_est(bb), 72 << 20)
+    out_specs = [
+        pl.BlockSpec((bb, s_tile, k, F), lambda b, s: (b, s, 0, 0)),
+        pl.BlockSpec((bb, s_tile, k), lambda b, s: (b, s, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, S, k, F), feats.dtype),
+        jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+    ]
+    if emit_xyz:
+        out_specs.insert(
+            0, pl.BlockSpec((bb, s_tile, k, 3), lambda b, s: (b, s, 0, 0))
+        )
+        out_shape.insert(0, jax.ShapeDtypeStruct((B, S, k, 3), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // bb, S // s_tile),
+        in_specs=[
+            pl.BlockSpec((bb, 3, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((bb, s_tile, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((bb, N, Cp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, N), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((bb * s_tile, N), jnp.float32),
+            pltpu.VMEM((bb * 8 * s_tile, N), p.dtype),
+            pltpu.VMEM(
+                (bb * s_tile, (3 if emit_xyz else 0) + F), jnp.float32
+            ),
+            pltpu.VMEM((bb * s_tile, 1), jnp.int32),
+            pltpu.VMEM((bb * s_tile, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 << 20)
+        ),
+        interpret=interpret,
+    )(xyz_t, cents, p, jnp.swapaxes(pen, 1, 2))
+    if emit_xyz:
+        gx, gf, idx = outs
+    else:
+        gf, idx = outs
+        gx = None
+    return gx, gf, idx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -1267,86 +1474,23 @@ def grouped_gather_knn(xyz, feats, new_xyz, pen, k, interpret=False):
       grouped_xyz (B, S, k, 3) f32 — NOT centered,
       grouped_feats (B, S, k, F) feats.dtype,
       idx (B, S, k) int32.
-    Requires k % 8 == 0 (8-slot aligned stores).
+    Requires k % 8 == 0 (8-slot aligned stores). Slot order is distance
+    order with deterministic lowest-index tie-break — exact lax.top_k /
+    torch.topk parity; indices come from the in-kernel argmin, so no
+    index channels ride the gather dot and there is no bf16 N ceiling.
+    Prefer grouped_gather_knn_feats when grouped_xyz is unused — the
+    (B, S, k, 3) output's 12-byte strided HBM writes are expensive.
 
     Differentiation: selection is non-differentiable; value gradients
     scatter back to xyz/feats rows (deterministic one-hot segment-sum);
     new_xyz/pen get zeros (matches XLA top_k+gather autodiff).
     """
-    out, _ = _gg_knn_fwd(xyz, feats, new_xyz, pen, k, interpret)
-    return out
+    return _gg_knn_fwd(xyz, feats, new_xyz, pen, k, interpret)[0]
 
 
 def _gg_knn_fwd(xyz, feats, new_xyz, pen, k, interpret):
-    if k % 8:
-        raise ValueError(
-            f"grouped_gather_knn needs k % 8 == 0 (8-slot aligned stores); "
-            f"got k={k} — use group_neighbors' XLA path for other k"
-        )
-    B, N, _ = xyz.shape
-    S = new_xyz.shape[1]
-    xyz = xyz.astype(jnp.float32)
-    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
-    cents = new_xyz[..., :3].astype(jnp.float32)  # (B, S, 3)
-    if feats.dtype == jnp.bfloat16:
-        hi, lo = _split_bf16(xyz)
-        p = jnp.concatenate([hi, lo, feats], axis=-1)
-        split = True
-    else:
-        p = jnp.concatenate([xyz, feats.astype(jnp.float32)], axis=-1)
-        split = False
-    Cp = p.shape[-1]
-    F = feats.shape[-1]
-
-    s_tile = min(256, S, max(8, (10 << 20) // (8 * N * 4)))
-    s_tile = 1 << (s_tile.bit_length() - 1)
-    while S % s_tile:
-        s_tile //= 2
-
-    kernel = functools.partial(
-        _group_knn_smajor_kernel, k=k, split_xyz=split, n=N,
-        s_tile=s_tile, n_feat=F,
-    )
-    isz = p.dtype.itemsize
-    vmem = (
-        6 * N * s_tile * 4  # distance tile + selector/compare temporaries
-        # the 8-slot store group unrolls: 8 live gather/comb sets
-        + 8 * s_tile * (Cp + 3 + F) * 4
-        + 2 * N * (Cp + 4) * isz
-        + 2 * s_tile * k * (3 * 4 + F * isz + 4)
-        + (8 << 20)
-    )
-    gx, gf, idx = pl.pallas_call(
-        kernel,
-        grid=(B, S // s_tile),
-        in_specs=[
-            pl.BlockSpec((None, 3, N), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((None, s_tile, 3), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((None, N, Cp), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((None, 1, N), lambda b, s: (b, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((None, s_tile, k, 3), lambda b, s: (b, s, 0, 0)),
-            pl.BlockSpec((None, s_tile, k, F), lambda b, s: (b, s, 0, 0)),
-            pl.BlockSpec((None, s_tile, k), lambda b, s: (b, s, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S, k, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, k, F), feats.dtype),
-            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((s_tile, N), jnp.float32),
-            pltpu.VMEM((s_tile, 3 + F), jnp.float32),
-            pltpu.VMEM((s_tile, 1), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem, 120 << 20)
-        ),
-        interpret=interpret,
-    )(xyz_t, cents, p, jnp.swapaxes(pen, 1, 2))
-    out = (gx, gf, idx)
-    return out, (idx, xyz[:, :, :0], feats[:, :, :0], new_xyz[:, :0])
+    out = _gg_knn_call(xyz, feats, new_xyz, pen, k, interpret, True)
+    return out, (out[2], xyz[:, :, :0], feats[:, :, :0], new_xyz[:, :0])
 
 
 def _gg_knn_bwd(k, interpret, res, cots):
@@ -1367,6 +1511,44 @@ def _gg_knn_bwd(k, interpret, res, cots):
 
 
 grouped_gather_knn.defvjp(_gg_knn_fwd, _gg_knn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def grouped_gather_knn_feats(xyz, feats, new_xyz, pen, k, interpret=False):
+    """grouped_gather_knn without the grouped-xyz output: returns
+    (grouped_feats (B, S, k, F), idx (B, S, k) int32).
+
+    The xyz gather channels are dropped from the MXU dot and the
+    (B, S, k, 3) f32 output — whose 3-lane tiles cost 12-byte strided HBM
+    writes worth ~20% of the kernel runtime — is never materialized. This is
+    the LocalGrouper path: PointMLP ships use_xyz=False and reads only the
+    grouped features (reference pointmlp.py:150-178). Same selection
+    semantics and slot order as grouped_gather_knn.
+    """
+    return _gg_knnf_fwd(xyz, feats, new_xyz, pen, k, interpret)[0]
+
+
+def _gg_knnf_fwd(xyz, feats, new_xyz, pen, k, interpret):
+    _, gf, idx = _gg_knn_call(xyz, feats, new_xyz, pen, k, interpret, False)
+    return (gf, idx), (idx, xyz[:, :, :0], feats[:, :, :0], new_xyz[:, :0])
+
+
+def _gg_knnf_bwd(k, interpret, res, cots):
+    idx, xyz0, feats0, nx0 = res
+    N = xyz0.shape[1]
+    dgf = cots[0]  # (B, S, k, F); idx non-diff
+    B, S = idx.shape[0], idx.shape[1]
+    g = dgf.astype(
+        jnp.bfloat16 if feats0.dtype == jnp.bfloat16 else jnp.float32
+    ).reshape(B, S * k, -1)
+    scat = scatter_rows_pallas(g, idx.reshape(B, -1), N, interpret=interpret)
+    return (jnp.zeros((B, N, 3), xyz0.dtype), scat.astype(feats0.dtype),
+            jnp.zeros((B, S, nx0.shape[-1]), nx0.dtype),
+            jnp.zeros((B, N, 1), jnp.float32))
+
+
+grouped_gather_knn_feats.defvjp(_gg_knnf_fwd, _gg_knnf_bwd)
+
 
 
 ############################ FPS ############################

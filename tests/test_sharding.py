@@ -137,6 +137,55 @@ def test_ring_sinkhorn_annealed(rng, mesh8):
     assert agree >= 0.95, agree
 
 
+def test_ring_chamfer_non_divisible(rng, mesh8):
+    """Point counts that do not divide the mesh size are padded with masked
+    points inside ring_chamfer — values and gradients stay exact (r3 weak
+    #5: divisibility must not force giant clouds back to the dense path)."""
+    x = jnp.asarray(rng.random((2, 101, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 67, 3), dtype=np.float32))
+    want = float(chamfer_distance(x, y))
+    got = float(ring_chamfer(x, y, mesh=mesh8))
+    assert abs(got - want) <= 1e-5, (got, want)
+    g_ring = jax.grad(lambda a: ring_chamfer(a, y, mesh=mesh8))(x)
+    g_ref = jax.grad(lambda a: chamfer_distance(a, y))(x)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref), atol=1e-5)
+    # padding composes with a caller-supplied ragged mask
+    xm = jnp.asarray(rng.random((2, 101)) > 0.3)
+    want_m = float(chamfer_distance(x, y, x_mask=xm))
+    got_m = float(ring_chamfer(x, y, mesh=mesh8, x_mask=xm))
+    assert abs(got_m - want_m) <= 1e-5, (got_m, want_m)
+
+
+def test_ring_sinkhorn_non_divisible(rng, mesh8):
+    """Zero-mass (-inf log-marginal) padding keeps the transport problem
+    unchanged when N/M don't divide the mesh size; outputs are sliced back
+    to the caller's shapes."""
+    from pointcloud_tpu.ops.emd import sinkhorn_match
+    from pointcloud_tpu.parallel.ring import ring_sinkhorn_match
+
+    x = jnp.asarray(rng.random((1, 61, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 43, 3), dtype=np.float32))
+    dd, da = sinkhorn_match(x, y, eps=0.02, iters=40)
+    rd, ra = ring_sinkhorn_match(x, y, eps=0.02, iters=40, mesh=mesh8)
+    assert rd.shape == (1, 61) and ra.shape == (1, 61)
+    # no pad column is ever assigned
+    assert (np.asarray(ra) < 43).all()
+    agree = float(np.mean(np.asarray(da) == np.asarray(ra)))
+    assert agree >= 0.95, agree
+    same = np.asarray(da) == np.asarray(ra)
+    np.testing.assert_allclose(
+        np.asarray(rd)[same], np.asarray(dd)[same], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ring_eligible_size_only():
+    """ring_eligible depends only on problem size, not divisibility."""
+    from pointcloud_tpu.ops.chamfer import ring_eligible
+
+    assert ring_eligible(1, 100_004, 100_004)
+    assert not ring_eligible(1, 1024, 1024)
+
+
 def test_chamfer_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
     """chamfer_distance auto-routes above RING_MIN_ELEMENTS (r2 weak #6)."""
     from pointcloud_tpu.ops import chamfer as cham_mod
