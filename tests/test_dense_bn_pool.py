@@ -63,6 +63,44 @@ def test_grads_match_reference(rng, pool):
         )
 
 
+def test_unaligned_multitile_masked_rmw(rng, monkeypatch):
+    """bpt==1 multi-tile path (pooled rows placed/read by masked RMW).
+
+    Shrinking the z-tile budget forces r_tile == pool with several tiles
+    per grid step — the layout the batch-blocked global pools hit on TPU
+    (rows//pool not 8-aligned, dynamic sublane offsets rejected)."""
+    import pointcloud_tpu.ops.dense_bn_pool as dbp
+
+    monkeypatch.setattr(dbp, "_TILE_BUDGET_EL", 64)
+    x, w, b, pen = _data(rng, B=4, R=48, masked=True)
+    pool = 16  # rows//pool per grid step not a multiple of 8
+    got = dense_pool_stats(x, w, b, pen, pool, True)
+    want = dense_pool_stats_reference(x, w, b, pen, pool)
+    for n, g, r in zip(["pmax", "pmin", "amax", "amin", "ssum", "ssq"],
+                       got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=n
+        )
+
+    def scalar(op):
+        def f(x, w, b):
+            pmax, pmin, _, _, ssum, ssq = op(x, w, b)
+            return (jnp.sum(pmax * 1.3) + jnp.sum(pmin * 0.7)
+                    + jnp.sum(ssum * 0.11) + jnp.sum(ssq * 0.05))
+        return f
+
+    gf = jax.grad(scalar(
+        lambda x, w, b: dense_pool_stats(x, w, b, pen, pool, True)
+    ), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(scalar(
+        lambda x, w, b: dense_pool_stats_reference(x, w, b, pen, pool)
+    ), argnums=(0, 1, 2))(x, w, b)
+    for a, r, n in zip(gf, gr, ["dx", "dw", "dbias"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5, err_msg=n
+        )
+
+
 def test_grads_pool_only(rng):
     """Stats cotangents zero (eval-mode shape): only sparse paths remain."""
     x, w, b, pen = _data(rng, masked=True)
