@@ -206,14 +206,19 @@ class DenseBNMaxPool(nn.Module):
                 jnp.where(mask.reshape(B2, R), jnp.float32(0.0),
                           jnp.float32(1e9))
                 if mask is not None
-                else jnp.zeros((B2, R), jnp.float32)
+                else None
             )
-            pmax, pmin, _, _, ssum, ssq = dense_pool_stats(
-                xr.astype(dt), kernel.astype(dt), dbias.astype(dt), pen,
-                pool, interpret,
+            # the kernel pools sign*z once (one reduction + one argmax
+            # instead of max AND min chains); un-sign here — exact, and
+            # identical to where(scale >= 0, max(z), min(z))
+            sgn = jax.lax.stop_gradient(
+                jnp.where(scale >= 0, jnp.float32(1.0), jnp.float32(-1.0))
             )
-            pmax = pmax.reshape(*lead, C)
-            pmin = pmin.reshape(*lead, C)
+            psel, _, ssum, ssq = dense_pool_stats(
+                xr.astype(dt), kernel.astype(dt), dbias.astype(dt), sgn,
+                pen, pool, interpret,
+            )
+            sel = (sgn.astype(dt) * psel).reshape(*lead, C)
         else:
             # plain XLA in native shape — exactly nn.Dense + BNMaxPool's ops
             z = (
@@ -230,6 +235,7 @@ class DenseBNMaxPool(nn.Module):
             else:
                 pmax = jnp.max(z, axis=-2)
                 pmin = jnp.min(z, axis=-2)
+            sel = jnp.where(scale >= 0, pmax, pmin)  # (*lead, C)
 
         if train:
             count = float(n_rows)
@@ -246,7 +252,6 @@ class DenseBNMaxPool(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        sel = jnp.where(scale >= 0, pmax, pmin)  # (*lead, C)
         y = sel.astype(dt) - mean.astype(dt)
         mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt))
         y = y * (mul * scale.astype(dt)) + offset.astype(dt)

@@ -1,4 +1,4 @@
-"""Fused Dense -> (BatchNorm stats) -> block max/min pool, Pallas TPU.
+"""Fused Dense -> (BatchNorm stats) -> signed block max pool, Pallas TPU.
 
 The pre-pool Dense output `z = x @ W + bias` of every 1024-wide PointNet /
 PointNet2 layer is consumed ONLY by (a) BatchNorm batch statistics and
@@ -6,23 +6,30 @@ PointNet2 layer is consumed ONLY by (a) BatchNorm batch statistics and
 a (B, N, 1024) HBM tensor (1 GB at B=256) written once and re-read by the
 stats and pooling passes, and the backward materializes a same-sized dz.
 This kernel streams row tiles through the MXU and reduces them on the fly —
-z NEVER exists in HBM, forward or backward:
+z NEVER exists in HBM, forward or backward.
+
+Sign folding: BNMaxPool needs max(z) on channels whose BN scale >= 0 and
+min(z) on the rest (BN is per-channel monotone affine; pool-then-normalize
+is exact — models/pointnet.py). Instead of computing BOTH pooled extrema
+and selecting outside (two reductions + two argmax chains per tile, the
+dominant VPU cost of the pass), the caller passes s = sign(scale) in
+{+1, -1} per channel and the kernel pools s*z ONCE:
 
   forward:  per tile  z_t = x_t @ W + bias  ->  accumulate fp32 sum/sumsq
             (BN stats, ALL rows incl. masked — the documented model
-            contract), per-block masked max/min + lowest-index argmax.
-  backward: dz has the closed form  dssum_c + 2*dssq_c*z + sparse  where
-            the sparse part touches one (argmax / argmin) row per
+            contract), per-block max of s*z - pen + lowest-index argmax.
+  backward: dz has the closed form  dssum_c + 2*dssq_c*z + s * sparse
+            where the sparse part touches one argmax row per
             (block, channel); each tile recomputes z_t, forms dz_t in VMEM,
             and feeds the dx / dW matmuls directly.
 
-The BN normalization itself runs OUTSIDE on the pooled (B, nb, C) values
-(models/pointnet.py BNMaxPool algebra: BN is per-channel monotone affine,
-so pool-then-normalize is exact) — so this op is purely
-`(pooled raw stats) = f(x, W, bias)` with a custom VJP, and plain autodiff
-handles every gamma/beta/mean/var path on small tensors.
+The caller recovers its selected extremum as s * psel (exact: sign flips
+are exact in IEEE). The BN normalization itself runs OUTSIDE on the pooled
+(B, nb, C) values, so this op is purely `(pooled raw stats) = f(x, W,
+bias)` with a custom VJP, and plain autodiff handles every
+gamma/beta/mean/var path on small tensors.
 
-Tie-break: argmax/argmin keep the lowest index (deterministic); jnp.max's
+Tie-break: the argmax keeps the lowest index (deterministic); jnp.max's
 autodiff splits gradients evenly across exact ties instead — identical for
 real-valued data, documented divergence on exact ties.
 """
@@ -77,9 +84,13 @@ def _bb(B0, R0, Cin, C, pool, isz, live_tiles):
     return bb
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, pen_ref,
-                pmax_ref, pmin_ref, amax_ref, amin_ref, ssum_ref, ssq_ref,
-                *, rows, pool, r_tile, dtype, f32_dots):
+def _fwd_kernel(x_ref, w_ref, b_ref, s_ref, *rest,
+                rows, pool, r_tile, dtype, f32_dots, has_pen):
+    if has_pen:
+        pen_ref, psel_ref, asel_ref, ssum_ref, ssq_ref = rest
+    else:
+        pen_ref = None
+        psel_ref, asel_ref, ssum_ref, ssq_ref = rest
     b = pl.program_id(0)
     C = w_ref.shape[1]
     bpt = r_tile // pool
@@ -98,6 +109,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, pen_ref,
         ssq_ref[:, :] = jnp.zeros((1, C), jnp.float32)
 
     within = jax.lax.broadcasted_iota(jnp.int32, (bpt, pool, C), 1)
+    sgn = s_ref[:, :]  # (1, C) f32, +-1
 
     def tile(t, acc):
         s, q = acc
@@ -106,66 +118,37 @@ def _fwd_kernel(x_ref, w_ref, b_ref, pen_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) + b_ref[:, :].astype(jnp.float32)
-        z = z.astype(dtype)  # the exact value flax's Dense hands to BN
-        zf = z.astype(jnp.float32)
+        # zf: the exact value flax's Dense hands to BN, promoted back to
+        # f32 (exact). All epilogue math stays f32: Mosaic rejects the
+        # sub-word i1 mask relayouts bf16 comparisons produce (CLAUDE.md
+        # "compare floats"), and max commutes with the exact promotion.
+        zf = z.astype(dtype).astype(jnp.float32)
         s = s + jnp.sum(zf, axis=0, keepdims=True)
         q = q + jnp.sum(zf * zf, axis=0, keepdims=True)
 
-        pen = pen_ref[pl.ds(t * r_tile, r_tile), :]  # (r_tile, 1) f32
-        # comparisons run in f32: Mosaic rejects the sub-word i1 mask
-        # relayouts bf16 equality produces (CLAUDE.md "compare floats");
-        # max/min commute with the (exact) bf16->f32 promotion.
+        zs = zf * sgn  # (r_tile, C), signed pool domain
+        if has_pen:
+            zs = zs - pen_ref[pl.ds(t * r_tile, r_tile), :]  # (r_tile, 1)
         if bpt == 1:
-            p2 = pen.astype(dtype)
-            zmax = z - p2
-            zmin = z + p2
-            mx = jnp.max(zmax, axis=0, keepdims=True)  # (1, C)
-            mn = jnp.min(zmin, axis=0, keepdims=True)
+            mx = jnp.max(zs, axis=0, keepdims=True)  # (1, C)
             rid = jax.lax.broadcasted_iota(jnp.int32, (r_tile, C), 0)
             amx = jnp.min(
-                jnp.where(
-                    zmax.astype(jnp.float32) == mx.astype(jnp.float32),
-                    rid, pool,
-                ), axis=0, keepdims=True,
-            ).astype(jnp.int32)
-            amn = jnp.min(
-                jnp.where(
-                    zmin.astype(jnp.float32) == mn.astype(jnp.float32),
-                    rid, pool,
-                ), axis=0, keepdims=True,
+                jnp.where(zs == mx, rid, pool), axis=0, keepdims=True
             ).astype(jnp.int32)
         else:
-            z3 = z.reshape(bpt, pool, C)
-            p3 = pen.reshape(bpt, pool, 1).astype(dtype)
-            zmax = z3 - p3
-            zmin = z3 + p3
-            mx = jnp.max(zmax, axis=1)  # (bpt, C)
-            mn = jnp.min(zmin, axis=1)
+            zs3 = zs.reshape(bpt, pool, C)
+            mx = jnp.max(zs3, axis=1)  # (bpt, C)
             amx = jnp.min(
-                jnp.where(
-                    zmax.astype(jnp.float32)
-                    == mx[:, None, :].astype(jnp.float32),
-                    within, pool,
-                ), axis=1,
+                jnp.where(zs3 == mx[:, None, :], within, pool), axis=1
             ).astype(jnp.int32)
-            amn = jnp.min(
-                jnp.where(
-                    zmin.astype(jnp.float32)
-                    == mn[:, None, :].astype(jnp.float32),
-                    within, pool,
-                ), axis=1,
-            ).astype(jnp.int32)
+        mxd = mx.astype(dtype)
         off = t * bpt
         if unaligned:  # bpt == 1: place row t by masked RMW
-            pmax_ref[:, :] = jnp.where(orow == t, mx, pmax_ref[:, :])
-            pmin_ref[:, :] = jnp.where(orow == t, mn, pmin_ref[:, :])
-            amax_ref[:, :] = jnp.where(orow == t, amx, amax_ref[:, :])
-            amin_ref[:, :] = jnp.where(orow == t, amn, amin_ref[:, :])
+            psel_ref[:, :] = jnp.where(orow == t, mxd, psel_ref[:, :])
+            asel_ref[:, :] = jnp.where(orow == t, amx, asel_ref[:, :])
         else:
-            pmax_ref[pl.ds(off, bpt), :] = mx
-            pmin_ref[pl.ds(off, bpt), :] = mn
-            amax_ref[pl.ds(off, bpt), :] = amx
-            amin_ref[pl.ds(off, bpt), :] = amn
+            psel_ref[pl.ds(off, bpt), :] = mxd
+            asel_ref[pl.ds(off, bpt), :] = amx
         return s, q
 
     s, q = jax.lax.fori_loop(
@@ -176,8 +159,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, pen_ref,
     ssq_ref[:, :] += q
 
 
-def _bwd_kernel(x_ref, w_ref, wt_ref, b_ref, amax_ref, amin_ref,
-                dpmax_ref, dpmin_ref, dssum_ref, dssq_ref,
+def _bwd_kernel(x_ref, w_ref, wt_ref, b_ref, s_ref, asel_ref, dpsel_ref,
+                dssum_ref, dssq_ref,
                 dx_ref, dw_ref, db_ref, dw_acc, db_acc,
                 *, rows, pool, r_tile, dtype, f32_dots):
     b = pl.program_id(0)
@@ -204,6 +187,9 @@ def _bwd_kernel(x_ref, w_ref, wt_ref, b_ref, amax_ref, amin_ref,
     within = jax.lax.broadcasted_iota(jnp.int32, (bpt, pool, C), 1)
     A = dssum_ref[:, :]  # (1, C) f32
     Bc = 2.0 * dssq_ref[:, :]
+    # d psel / d z[asel] = s; fold s into the pooled cotangent up front
+    # (one (nb, C) multiply instead of one per tile element)
+    sgn = s_ref[:, :]  # (1, C)
 
     def tile(t, _):
         z = jax.lax.dot_general(
@@ -222,25 +208,17 @@ def _bwd_kernel(x_ref, w_ref, wt_ref, b_ref, amax_ref, amin_ref,
                     jnp.where(orow == t, ref[:, :], zero),
                     axis=0, keepdims=True,
                 )
-                amx = pick(amax_ref, 0)
-                amn = pick(amin_ref, 0)
-                dmx = pick(dpmax_ref, 0.0)
-                dmn = pick(dpmin_ref, 0.0)
+                amx = pick(asel_ref, 0)
+                dmx = pick(dpsel_ref, 0.0)
             else:
-                amx = amax_ref[pl.ds(off, 1), :]
-                amn = amin_ref[pl.ds(off, 1), :]
-                dmx = dpmax_ref[pl.ds(off, 1), :]
-                dmn = dpmin_ref[pl.ds(off, 1), :]
-            dz = dz + jnp.where(rid == amx, dmx, 0.0)
-            dz = dz + jnp.where(rid == amn, dmn, 0.0)
+                amx = asel_ref[pl.ds(off, 1), :]
+                dmx = dpsel_ref[pl.ds(off, 1), :]
+            dz = dz + jnp.where(rid == amx, dmx * sgn, 0.0)
         else:
             dz3 = dz.reshape(bpt, pool, C)
-            amx = amax_ref[pl.ds(off, bpt), :][:, None, :]
-            amn = amin_ref[pl.ds(off, bpt), :][:, None, :]
-            dmx = dpmax_ref[pl.ds(off, bpt), :][:, None, :]
-            dmn = dpmin_ref[pl.ds(off, bpt), :][:, None, :]
+            amx = asel_ref[pl.ds(off, bpt), :][:, None, :]
+            dmx = (dpsel_ref[pl.ds(off, bpt), :] * sgn)[:, None, :]
             dz3 = dz3 + jnp.where(within == amx, dmx, 0.0)
-            dz3 = dz3 + jnp.where(within == amn, dmn, 0.0)
             dz = dz3.reshape(r_tile, C)
         db_acc[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
@@ -264,51 +242,56 @@ def _bwd_kernel(x_ref, w_ref, wt_ref, b_ref, amax_ref, amin_ref,
     db_ref[:, :] += db_acc[:, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def dense_pool_stats(x, w, bias, pen, pool, interpret=False):
-    """x (B, R, Cin), w (Cin, C), bias (C,), pen (B, R) f32 (+BIG on
-    masked rows), pool: block size (R % pool == 0). Returns
-      pmax, pmin (B, R//pool, C) x.dtype — per-block masked max/min of
-        z - pen / z + pen where z = (x @ w + bias) rounded to x.dtype,
-      amax, amin (B, R//pool, C) i32 — within-block lowest-index arg,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def dense_pool_stats(x, w, bias, sign, pen, pool, interpret=False):
+    """x (B, R, Cin), w (Cin, C), bias (C,), sign (C,) f32 in {+1, -1},
+    pen (B, R) f32 (+BIG on masked rows) or None, pool: block size
+    (R % pool == 0). Returns
+      psel (B, R//pool, C) x.dtype — per-block max of sign*z - pen where
+        z = (x @ w + bias) rounded to x.dtype (the caller's selected
+        extremum is sign * psel),
+      asel (B, R//pool, C) i32 — within-block lowest-index argmax,
       ssum, ssq (C,) f32 — sums of z and z^2 over ALL (B, R) rows.
-    Gradients flow to x, w, bias (selection and pen are non-diff).
+    Gradients flow to x, w, bias (selection, sign and pen are non-diff).
     """
-    return _fwd(x, w, bias, pen, pool, interpret)[0]
+    return _fwd(x, w, bias, sign, pen, pool, interpret)[0]
 
 
-def _fwd(x, w, bias, pen, pool, interpret):
+def _fwd(x, w, bias, sign, pen, pool, interpret):
     B0, R0, Cin = x.shape
     C = w.shape[1]
     nb0 = R0 // pool
     dtype = x.dtype
     f32_dots = dtype == jnp.float32
+    has_pen = pen is not None
     bb = _bb(B0, R0, Cin, C, pool, dtype.itemsize, live_tiles=8)
     B, R, nb = B0 // bb, bb * R0, bb * nb0
     x_b = x.reshape(B, R, Cin)
-    pen_b = pen.reshape(B, R)
     r_tile = _row_tile(R, pool, C)
     kernel = functools.partial(
         _fwd_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dtype,
-        f32_dots=f32_dots,
+        f32_dots=f32_dots, has_pen=has_pen,
     )
     vmem = min(  # ~8 live (r_tile, C) f32 tiles + 2 x blocks + outputs
         8 * r_tile * C * 4 + 2 * R * Cin * x.dtype.itemsize
-        + 4 * (R // pool) * C * 4 + (16 << 20),
+        + 2 * (R // pool) * C * 4 + (16 << 20),
         120 << 20,
     )
+    in_specs = [
+        pl.BlockSpec((None, R, Cin), lambda b: (b, 0, 0)),
+        pl.BlockSpec((Cin, C), lambda b: (0, 0)),
+        pl.BlockSpec((1, C), lambda b: (0, 0)),
+        pl.BlockSpec((1, C), lambda b: (0, 0)),
+    ]
+    args = [x_b, w, bias.reshape(1, C), sign.reshape(1, C)]
+    if has_pen:
+        in_specs.append(pl.BlockSpec((None, R, 1), lambda b: (b, 0, 0)))
+        args.append(pen.reshape(B, R)[..., None])
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, R, Cin), lambda b: (b, 0, 0)),
-            pl.BlockSpec((Cin, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((None, R, 1), lambda b: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
@@ -316,25 +299,23 @@ def _fwd(x, w, bias, pen, pool, interpret):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, nb, C), dtype),
-            jax.ShapeDtypeStruct((B, nb, C), dtype),
-            jax.ShapeDtypeStruct((B, nb, C), jnp.int32),
             jax.ShapeDtypeStruct((B, nb, C), jnp.int32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
-    )(x_b, w, bias.reshape(1, C), pen_b[..., None])
-    pmax, pmin, amax, amin, ssum, ssq = out
+    )(*args)
+    psel, asel, ssum, ssq = out
     rs = lambda t: t.reshape(B0, nb0, C)
-    outs = (rs(pmax), rs(pmin), rs(amax), rs(amin), ssum[0], ssq[0])
-    return outs, (x, w, bias, rs(amax), rs(amin))
+    outs = (rs(psel), rs(asel), ssum[0], ssq[0])
+    return outs, (x, w, bias, sign, rs(asel), has_pen)
 
 
 def _bwd(pool, interpret, res, cots):
-    x, w, bias, amax, amin = res
-    dpmax, dpmin = cots[0], cots[1]
-    dssum, dssq = cots[4], cots[5]
+    x, w, bias, sign, asel, has_pen = res
+    dpsel = cots[0]
+    dssum, dssq = cots[2], cots[3]
     B0, R0, Cin = x.shape
     C = w.shape[1]
     nb0 = R0 // pool
@@ -352,15 +333,12 @@ def _bwd(pool, interpret, res, cots):
             return jnp.zeros(proto, jnp.float32)
         return c.astype(jnp.float32)
 
-    dpmax = zero_like(dpmax, (B0, nb0, C))
-    dpmin = zero_like(dpmin, (B0, nb0, C))
+    dpsel = zero_like(dpsel, (B0, nb0, C))
     dssum = zero_like(dssum, (C,)).reshape(1, C)
     dssq = zero_like(dssq, (C,)).reshape(1, C)
 
     rb = lambda t: t.reshape(B, nb, C)  # free bitcast re-block
     x_b = x.reshape(B, R, Cin)
-    amax_b, amin_b = rb(amax), rb(amin)
-    dpmax_b, dpmin_b = rb(dpmax), rb(dpmin)
     wt = jnp.swapaxes(w, 0, 1)  # (C, Cin)
     r_tile = _row_tile(R, pool, C)
     kernel = functools.partial(
@@ -380,8 +358,7 @@ def _bwd(pool, interpret, res, cots):
             pl.BlockSpec((Cin, C), lambda b: (0, 0)),
             pl.BlockSpec((C, Cin), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, nb, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
@@ -403,24 +380,25 @@ def _bwd(pool, interpret, res, cots):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
-    )(x_b, w, wt, bias.reshape(1, C), amax_b, amin_b, dpmax_b, dpmin_b,
-      dssum, dssq)
+    )(x_b, w, wt, bias.reshape(1, C), sign.reshape(1, C),
+      rb(asel), rb(dpsel), dssum, dssq)
     return (
         dx.reshape(B0, R0, Cin),
         dw.astype(w.dtype),
         db[0].astype(bias.dtype),
-        jnp.zeros((B0, R0), jnp.float32),
+        jnp.zeros_like(sign),
+        jnp.zeros((B0, R0), jnp.float32) if has_pen else None,
     )
 
 
-def _fwd_vjp(x, w, bias, pen, pool, interpret):
-    return _fwd(x, w, bias, pen, pool, interpret)
+def _fwd_vjp(x, w, bias, sign, pen, pool, interpret):
+    return _fwd(x, w, bias, sign, pen, pool, interpret)
 
 
 dense_pool_stats.defvjp(_fwd_vjp, _bwd)
 
 
-def dense_pool_stats_reference(x, w, bias, pen, pool):
+def dense_pool_stats_reference(x, w, bias, sign, pen, pool):
     """Unfused XLA oracle with identical semantics (tests + non-TPU path)."""
     B, R, Cin = x.shape
     C = w.shape[1]
@@ -435,17 +413,13 @@ def dense_pool_stats_reference(x, w, bias, pen, pool):
     zf = z.astype(jnp.float32)
     ssum = jnp.sum(zf, axis=(0, 1))
     ssq = jnp.sum(zf * zf, axis=(0, 1))
-    z3 = z.reshape(B, R // pool, pool, C)
-    p3 = pen.reshape(B, R // pool, pool, 1).astype(x.dtype)
-    zmax = z3 - p3
-    zmin = z3 + p3
-    pmax = jnp.max(zmax, axis=2)
-    pmin = jnp.min(zmin, axis=2)
+    zs = zf * sign
+    if pen is not None:
+        zs = zs - pen[..., None]
+    zs3 = zs.reshape(B, R // pool, pool, C)
+    psel = jnp.max(zs3, axis=2)
     within = jnp.arange(pool, dtype=jnp.int32)[None, None, :, None]
-    amax = jnp.min(
-        jnp.where(zmax == pmax[:, :, None, :], within, pool), axis=2
+    asel = jnp.min(
+        jnp.where(zs3 == psel[:, :, None, :], within, pool), axis=2
     ).astype(jnp.int32)
-    amin = jnp.min(
-        jnp.where(zmin == pmin[:, :, None, :], within, pool), axis=2
-    ).astype(jnp.int32)
-    return pmax, pmin, amax, amin, ssum, ssq
+    return psel.astype(x.dtype), asel, ssum, ssq

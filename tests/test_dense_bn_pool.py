@@ -1,4 +1,4 @@
-"""Fused Dense->BN-stats->block-pool kernel vs the unfused oracle."""
+"""Fused Dense->BN-stats->signed-block-pool kernel vs the unfused oracle."""
 
 import jax
 import jax.numpy as jnp
@@ -15,21 +15,24 @@ def _data(rng, B=2, R=64, Cin=8, C=16, masked=False):
     x = jnp.asarray(rng.standard_normal((B, R, Cin)), dtype=jnp.float32)
     w = jnp.asarray(rng.standard_normal((Cin, C)) * 0.3, dtype=jnp.float32)
     b = jnp.asarray(rng.standard_normal(C) * 0.1, dtype=jnp.float32)
+    # mixed per-channel signs: exercises both max- and min-pool channels
+    s = jnp.asarray(np.where(rng.random(C) > 0.5, 1.0, -1.0),
+                    dtype=jnp.float32)
     if masked:
         pen = jnp.where(jnp.asarray(rng.random((B, R)) > 0.25), 0.0, 1e9)
         pen = pen.astype(jnp.float32)
     else:
-        pen = jnp.zeros((B, R), jnp.float32)
-    return x, w, b, pen
+        pen = None
+    return x, w, b, s, pen
 
 
 @pytest.mark.parametrize("pool", [8, 64])
 @pytest.mark.parametrize("masked", [False, True])
 def test_fwd_matches_reference(rng, pool, masked):
-    x, w, b, pen = _data(rng, masked=masked)
-    got = dense_pool_stats(x, w, b, pen, pool, True)
-    want = dense_pool_stats_reference(x, w, b, pen, pool)
-    names = ["pmax", "pmin", "amax", "amin", "ssum", "ssq"]
+    x, w, b, s, pen = _data(rng, masked=masked)
+    got = dense_pool_stats(x, w, b, s, pen, pool, True)
+    want = dense_pool_stats_reference(x, w, b, s, pen, pool)
+    names = ["psel", "asel", "ssum", "ssq"]
     for n, g, r in zip(names, got, want):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=n
@@ -38,22 +41,25 @@ def test_fwd_matches_reference(rng, pool, masked):
 
 @pytest.mark.parametrize("pool", [8, 64])
 def test_grads_match_reference(rng, pool):
-    x, w, b, pen = _data(rng)
+    x, w, b, s, pen = _data(rng)
 
     def scalar(op):
         def f(x, w, b):
-            pmax, pmin, amax, amin, ssum, ssq = op(x, w, b)
+            psel, asel, ssum, ssq = op(x, w, b)
             # exercise every differentiable output with distinct weights
             return (
-                jnp.sum(pmax * 1.3)
-                + jnp.sum(pmin * 0.7)
+                jnp.sum(psel * 1.3)
                 + jnp.sum(ssum * 0.11)
                 + jnp.sum(ssq * 0.05)
             )
         return f
 
-    f_fused = scalar(lambda x, w, b: dense_pool_stats(x, w, b, pen, pool, True))
-    f_ref = scalar(lambda x, w, b: dense_pool_stats_reference(x, w, b, pen, pool))
+    f_fused = scalar(
+        lambda x, w, b: dense_pool_stats(x, w, b, s, pen, pool, True)
+    )
+    f_ref = scalar(
+        lambda x, w, b: dense_pool_stats_reference(x, w, b, s, pen, pool)
+    )
 
     gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, w, b)
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, w, b)
@@ -72,28 +78,27 @@ def test_unaligned_multitile_masked_rmw(rng, monkeypatch):
     import pointcloud_tpu.ops.dense_bn_pool as dbp
 
     monkeypatch.setattr(dbp, "_TILE_BUDGET_EL", 64)
-    x, w, b, pen = _data(rng, B=4, R=48, masked=True)
+    x, w, b, s, pen = _data(rng, B=4, R=48, masked=True)
     pool = 16  # rows//pool per grid step not a multiple of 8
-    got = dense_pool_stats(x, w, b, pen, pool, True)
-    want = dense_pool_stats_reference(x, w, b, pen, pool)
-    for n, g, r in zip(["pmax", "pmin", "amax", "amin", "ssum", "ssq"],
-                       got, want):
+    got = dense_pool_stats(x, w, b, s, pen, pool, True)
+    want = dense_pool_stats_reference(x, w, b, s, pen, pool)
+    for n, g, r in zip(["psel", "asel", "ssum", "ssq"], got, want):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5, err_msg=n
         )
 
     def scalar(op):
         def f(x, w, b):
-            pmax, pmin, _, _, ssum, ssq = op(x, w, b)
-            return (jnp.sum(pmax * 1.3) + jnp.sum(pmin * 0.7)
+            psel, _, ssum, ssq = op(x, w, b)
+            return (jnp.sum(psel * 1.3)
                     + jnp.sum(ssum * 0.11) + jnp.sum(ssq * 0.05))
         return f
 
     gf = jax.grad(scalar(
-        lambda x, w, b: dense_pool_stats(x, w, b, pen, pool, True)
+        lambda x, w, b: dense_pool_stats(x, w, b, s, pen, pool, True)
     ), argnums=(0, 1, 2))(x, w, b)
     gr = jax.grad(scalar(
-        lambda x, w, b: dense_pool_stats_reference(x, w, b, pen, pool)
+        lambda x, w, b: dense_pool_stats_reference(x, w, b, s, pen, pool)
     ), argnums=(0, 1, 2))(x, w, b)
     for a, r, n in zip(gf, gr, ["dx", "dw", "dbias"]):
         np.testing.assert_allclose(
@@ -103,15 +108,15 @@ def test_unaligned_multitile_masked_rmw(rng, monkeypatch):
 
 def test_grads_pool_only(rng):
     """Stats cotangents zero (eval-mode shape): only sparse paths remain."""
-    x, w, b, pen = _data(rng, masked=True)
+    x, w, b, s, pen = _data(rng, masked=True)
 
     def f(x, w, b):
-        pmax, pmin, *_ = dense_pool_stats(x, w, b, pen, 8, True)
-        return jnp.sum(pmax) - 0.5 * jnp.sum(pmin)
+        psel, *_ = dense_pool_stats(x, w, b, s, pen, 8, True)
+        return jnp.sum(psel)
 
     def fr(x, w, b):
-        pmax, pmin, *_ = dense_pool_stats_reference(x, w, b, pen, 8)
-        return jnp.sum(pmax) - 0.5 * jnp.sum(pmin)
+        psel, *_ = dense_pool_stats_reference(x, w, b, s, pen, 8)
+        return jnp.sum(psel)
 
     gf = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
     gr = jax.grad(fr, argnums=(0, 1, 2))(x, w, b)
@@ -229,17 +234,42 @@ def test_module_matches_dense_plus_bnmaxpool(rng, train, ndim, masked):
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_module_fused_impl_matches_xla_impl(rng):
-    """interpret-mode fused path == XLA reference path inside the module."""
+@pytest.mark.parametrize("masked", [False, True])
+def test_module_fused_impl_matches_xla_impl(rng, masked):
+    """interpret-mode fused path == XLA reference path inside the module.
+
+    Mixed-sign BN scales exercise both pool directions of the signed
+    kernel; the unmasked case exercises the pen=None fast path."""
     from pointcloud_tpu.models.pointnet import DenseBNMaxPool
 
     x = jnp.asarray(rng.standard_normal((2, 4, 8, 8)), dtype=jnp.float32)
-    mask = jnp.asarray(rng.random((2, 4, 8)) > 0.3)
+    mask = jnp.asarray(rng.random((2, 4, 8)) > 0.3) if masked else None
     mod = DenseBNMaxPool(16, final_relu=True)
     v = mod.init(jax.random.PRNGKey(0), x, train=False)
+    v = jax.tree.map(lambda t: t, v)  # unfreeze-safe shallow copy
+    scale = jnp.asarray(rng.standard_normal(16), dtype=jnp.float32)
+    v["params"] = dict(v["params"], scale=scale)
     a, _ = mod.apply(v, x, train=True, mask=mask, impl="fused",
                      interpret=True, mutable=["batch_stats"])
     b, _ = mod.apply(v, x, train=True, mask=mask, impl="xla",
                      mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+    # gradient parity through the module on both impls (signed sparse path)
+    def loss(impl):
+        def f(p):
+            vv = dict(v, params=p)
+            kw = dict(train=True, mask=mask, impl=impl,
+                      mutable=["batch_stats"])
+            if impl == "fused":
+                kw["interpret"] = True
+            out, _ = mod.apply(vv, x, **kw)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return f
+
+    ga = jax.grad(loss("fused"))(v["params"])
+    gb = jax.grad(loss("xla"))(v["params"])
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
