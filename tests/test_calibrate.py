@@ -55,6 +55,7 @@ def setup(tmp_path_factory):
     return input_root, output_root, policy_path
 
 
+@pytest.mark.slow
 def test_calibration_produces_threshold(setup, monkeypatch):
     from pointcloud_tpu.envs import scenes
     from pointcloud_tpu.envs.envs import RoboReach

@@ -42,12 +42,14 @@ def test_pointnet_encoding_shape(cloud):
     assert model.ENCODING_DIM == 1024
 
 
+@pytest.mark.slow
 def test_pointnet2_encoding_shape(cloud):
     model = PointNet2Encoder(space_dims=3, feature_dims=3)
     _, enc = init_and_run(model, cloud)
     assert enc.shape == (B, 1024)
 
 
+@pytest.mark.slow
 def test_pointmlp_factories(rng):
     x = jnp.asarray(rng.random((B, 256, 3), dtype=np.float32))
     model = backbone_factory["PointMLP"](points=256, feature_dims=3)
@@ -134,6 +136,7 @@ def test_batchnorm_state_updates(cloud):
     assert changed, "batch stats must update in train mode"
 
 
+@pytest.mark.slow
 def test_ae_gradients_finite(cloud):
     from pointcloud_tpu.ops import chamfer_distance
 
@@ -175,6 +178,7 @@ def test_pointnet_mask_excludes_points(rng):
     )
 
 
+@pytest.mark.slow
 def test_pointnet2_ssg_msg_encoders(cloud):
     from pointcloud_tpu.models import PointNet2MSGEncoder, PointNet2SSGEncoder
 
@@ -245,6 +249,7 @@ class _UnfusedBNMax(__import__("flax").linen.Module):
         return jnp.max(y, axis=-2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("train", [True, False])
 @pytest.mark.parametrize("final_relu", [True, False])
 @pytest.mark.parametrize("masked", [True, False])

@@ -7,6 +7,7 @@ CPU backend, 2 processes x 2 forced host devices = 4 global devices.
 """
 
 import os
+import pytest
 import socket
 import subprocess
 import sys
@@ -88,6 +89,7 @@ print(f"OK pid={pid} loss={got:.6f} w2={w2n.ravel().tolist()}")
 """
 
 
+@pytest.mark.slow
 def test_two_process_multihost_train_step(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

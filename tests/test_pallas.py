@@ -649,6 +649,7 @@ def test_chamfer_nn_bwd_fused_matches_composition(rng):
     )
 
 
+@pytest.mark.slow
 def test_chamfer_grad_fused_bwd_parity(rng, monkeypatch):
     """grad(chamfer_distance) through the fused backward kernel (interpret
     mode, masked + unmasked) == pure-XLA autodiff-equivalent path."""

@@ -63,6 +63,7 @@ def test_forward_matches_oracle(rng, blocks, dtype):
                                    rtol=stol, atol=stol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("blocks", [1, 2])
 def test_grad_matches_oracle_autodiff(rng, blocks):
     B, R, pool = 2, 24, 4

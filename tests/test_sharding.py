@@ -19,6 +19,7 @@ def mesh8():
     return Mesh(np.array(devs), ("points",))
 
 
+@pytest.mark.slow
 def test_ring_chamfer_matches_single_device(rng, mesh8):
     x = jnp.asarray(rng.random((2, 256, 3), dtype=np.float32))
     y = jnp.asarray(rng.random((2, 512, 3), dtype=np.float32))
@@ -27,6 +28,7 @@ def test_ring_chamfer_matches_single_device(rng, mesh8):
     assert abs(got - want) <= 1e-5, (got, want)
 
 
+@pytest.mark.slow
 def test_ring_chamfer_asymmetric_and_zero(rng, mesh8):
     x = jnp.asarray(rng.random((1, 128, 3), dtype=np.float32))
     got = float(ring_chamfer(x, x, mesh=mesh8))
@@ -38,6 +40,7 @@ def test_ring_chamfer_asymmetric_and_zero(rng, mesh8):
     assert abs(got - want) <= 1e-5
 
 
+@pytest.mark.slow
 def test_ring_chamfer_gradients(rng, mesh8):
     x = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
     y = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
@@ -71,6 +74,7 @@ def test_data_parallel_train_step_matches_single(rng):
     assert abs(single - sharded) <= 1e-5
 
 
+@pytest.mark.slow
 def test_graft_dryrun_8_devices():
     import __graft_entry__ as g
 
@@ -85,6 +89,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_ring_chamfer_masked(rng, mesh8):
     """Masks reproduce chamfer_distance's ragged semantics across the ring."""
     x = jnp.asarray(rng.random((2, 128, 3), dtype=np.float32))
@@ -104,6 +109,7 @@ def test_ring_chamfer_masked(rng, mesh8):
     assert abs(got - want) <= 1e-5, (got, want)
 
 
+@pytest.mark.slow
 def test_ring_sinkhorn_matches_dense(rng, mesh8):
     """Point-sharded Sinkhorn == dense sinkhorn_match (same contract)."""
     from pointcloud_tpu.ops.emd import sinkhorn_match
@@ -123,6 +129,7 @@ def test_ring_sinkhorn_matches_dense(rng, mesh8):
     )
 
 
+@pytest.mark.slow
 def test_ring_sinkhorn_annealed(rng, mesh8):
     from pointcloud_tpu.ops.emd import sinkhorn_match
     from pointcloud_tpu.parallel.ring import ring_sinkhorn_match
@@ -137,6 +144,7 @@ def test_ring_sinkhorn_annealed(rng, mesh8):
     assert agree >= 0.95, agree
 
 
+@pytest.mark.slow
 def test_ring_chamfer_non_divisible(rng, mesh8):
     """Point counts that do not divide the mesh size are padded with masked
     points inside ring_chamfer — values and gradients stay exact (r3 weak
@@ -156,6 +164,7 @@ def test_ring_chamfer_non_divisible(rng, mesh8):
     assert abs(got_m - want_m) <= 1e-5, (got_m, want_m)
 
 
+@pytest.mark.slow
 def test_ring_sinkhorn_non_divisible(rng, mesh8):
     """Zero-mass (-inf log-marginal) padding keeps the transport problem
     unchanged when N/M don't divide the mesh size; outputs are sliced back
@@ -186,6 +195,7 @@ def test_ring_eligible_size_only():
     assert not ring_eligible(1, 1024, 1024)
 
 
+@pytest.mark.slow
 def test_chamfer_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
     """chamfer_distance auto-routes above RING_MIN_ELEMENTS (r2 weak #6)."""
     from pointcloud_tpu.ops import chamfer as cham_mod
@@ -209,6 +219,7 @@ def test_chamfer_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
     assert abs(got_m - want_m) <= 1e-5
 
 
+@pytest.mark.slow
 def test_emd_large_cloud_ring_dispatch(rng, mesh8, monkeypatch):
     from pointcloud_tpu.ops import chamfer as cham_mod
     from pointcloud_tpu.ops.emd import emd_match

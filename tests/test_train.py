@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end runs; excluded by -m "not slow"
+
 import pointcloud_tpu.cfg as cfg
 from pointcloud_tpu.envs.synthetic import generate_dataset
 from pointcloud_tpu.train import create_model, train

@@ -4,6 +4,8 @@ GoalEnv rollout (BASELINE config 5's robosuite-free equivalent)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end runs; excluded by -m "not slow"
+
 import pointcloud_tpu.cfg as cfg
 from pointcloud_tpu.envs.synthetic import generate_dataset
 
