@@ -124,14 +124,69 @@ def main():
     )
     # Gated metric (VERDICT r2 weak #8): a train-step regression fails the
     # bench loudly instead of hiding behind the fwd-only headline. Floor =
-    # ~20% below the measured 6,307 clouds/s (benchmarks/RESULTS.md; fused
-    # C-major chamfer backward kernel).
+    # ~10% below the 7,672 clouds/s measured in BENCH_r04 (ratcheted from
+    # 5,000 per VERDICT r4 #6).
     if jax.default_backend() in ("tpu", "axon"):
-        TRAIN_STEP_FLOOR = 5000.0
+        TRAIN_STEP_FLOOR = 7000.0
         assert train_clouds_per_sec >= TRAIN_STEP_FLOOR, (
             f"train-step throughput regressed: {train_clouds_per_sec:,.0f} "
             f"< {TRAIN_STEP_FLOOR:,.0f} clouds/s"
         )
+
+    # ---- warn-only per-config steps (VERDICT r4 #6): the three slowest
+    # backbones' regressions become driver-visible. Never fail the bench —
+    # numbers land in the JSON; compile cost is amortized by the persistent
+    # compilation cache (pointcloud_tpu.__init__). Skip: PCTPU_BENCH_LITE=1.
+    import os
+
+    extra = {}
+    if not os.environ.get("PCTPU_BENCH_LITE"):
+        for bk_name, Bc, floor_note in (
+            ("PointNet2", 256, 3200),   # clouds/s bar (VERDICT r3 task 5)
+            ("PointMLP", 32, 440),      # = 72 ms/step bar (VERDICT r2)
+        ):
+            try:
+                bk2 = backbone_factory[bk_name](feature_dims=3, dtype=dtype)
+                m2 = AE(bk2, out_points=2048, out_dim=6, bottleneck=16,
+                        dtype=dtype)
+                x2 = jnp.asarray(
+                    rng.random((Bc, 2048, 6), dtype=np.float32))
+                v2 = m2.init(jax.random.PRNGKey(0), x2[:1], train=True)
+
+                @jax.jit
+                def step2(params, batch_stats, opt_state, x, m2=m2):
+                    def loss_fn(p):
+                        out, mut = m2.apply(
+                            {"params": p, "batch_stats": batch_stats}, x,
+                            train=True, mutable=["batch_stats"],
+                        )
+                        return (chamfer_distance(out[..., :3], x[..., :3]),
+                                mut["batch_stats"])
+
+                    (l, s), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
+                    up, o2 = tx.update(g, opt_state, params)
+                    return optax.apply_updates(params, up), s, o2, l
+
+                p2, bs2 = v2["params"], v2["batch_stats"]
+                o2 = tx.init(p2)
+                p2, bs2, o2, l2 = step2(p2, bs2, o2, x2)
+                float(l2)
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    p2, bs2, o2, l2 = step2(p2, bs2, o2, x2)
+                float(l2)
+                ms = (time.perf_counter() - t0) / 5 * 1e3
+                cps = Bc / (ms / 1e3)
+                key = bk_name.lower()
+                extra[f"{key}_train_ms_b{Bc}"] = round(ms, 1)
+                extra[f"{key}_train_clouds_per_sec"] = round(cps, 1)
+                warn = "" if cps >= floor_note else \
+                    f"  [below {floor_note} clouds/s bar]"
+                log(f"{bk_name} AE train step B={Bc}: {ms:.1f} ms -> "
+                    f"{cps:,.0f} clouds/s{warn}")
+            except Exception as e:  # warn-only: never fail the bench
+                log(f"{bk_name} config step skipped: {e}")
 
     # ---- auxiliary: Pallas FPS kernel vs XLA loop (stderr only) ----
     try:
@@ -157,6 +212,7 @@ def main():
                 "unit": "clouds/sec/chip",
                 "vs_baseline": round(clouds_per_sec / 10_000, 3),
                 "train_step_clouds_per_sec": round(train_clouds_per_sec, 1),
+                **extra,
             }
         )
     )

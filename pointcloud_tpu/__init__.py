@@ -17,7 +17,36 @@ available (reference: pointcloud_vision/__init__.py:7-151).
 
 __version__ = "0.1.0"
 
-from pointcloud_tpu import cfg  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt-out: PCTPU_NO_COMPILE_CACHE).
+
+    The fused-chain kernels compile in minutes on a remote TPU; the
+    persistent cache (keyed by HLO hash, so always safe across code edits)
+    makes every repeat run — tests, benchmarks, the driver's bench.py —
+    near-instant. Verified working through the axon remote backend.
+    """
+    if _os.environ.get("PCTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/jax_comp"),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
+from pointcloud_tpu import cfg  # noqa: F401, E402
 
 
 def register_envs():

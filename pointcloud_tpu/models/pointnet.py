@@ -274,6 +274,143 @@ def _use_fused_pool() -> bool:
         return False
 
 
+class MLPChainPool(nn.Module):
+    """L Dense+BN(+ReLU) layers then a masked global max-pool, as ONE fused
+    chain on the TPU train path.
+
+    Semantics == `PointwiseMLP(features[:-1]) + DenseBNMaxPool(features[-1],
+    final_relu=final_relu)` (reference pointnet.py:152-165: conv1/conv2 with
+    ReLU, conv3+bn3 WITHOUT, then the global pool): each mid layer is
+    Dense -> BatchNorm -> ReLU, the last layer's post-BN pre-relu values
+    max-pool over the whole point axis (exactly where(scale>=0, max z,
+    min z) then normalize — BN is per-channel monotone affine), and
+    final_relu optionally rectifies the pooled vector.
+
+    In train mode on TPU the whole chain rides ops/preextract_fused.
+    mlp_pool_fused (plain-chain mode): BN statistics accumulate in each
+    matmul's epilogue and the post-BN (B, N, C) tensors never reach HBM —
+    the same machinery as PointNet2's SetAbstraction, applied to PointNet's
+    STN bodies and trunk tail (VERDICT r4: the remaining PointNet step was
+    BN-stack HBM traffic).
+
+    Dense layers are bias-free: a pre-BN bias is exactly absorbed by the
+    normalization in train mode and receives exactly-zero gradient, so it is
+    a no-op degree of freedom the reference's Conv1d layers carry
+    redundantly (same argument as SetAbstraction).
+
+    Input (B, N, Cin) -> (B, features[-1]). Masked points are excluded from
+    the pool but feed BN statistics (check_train_mask_contract); all-masked
+    rows emit the -1e9 sentinel.
+    """
+
+    features: tuple
+    final_relu: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask: Array | None = None,
+                 interpret: bool = False):
+        from pointcloud_tpu.ops.preextract_fused import (
+            EPS,
+            mlp_pool_fused,
+            mlp_pool_reference,
+        )
+
+        B, N, Cin = x.shape
+        layout = []
+        ci = Cin
+        for f in self.features:
+            layout.append((ci, f))
+            ci = f
+        ws, gs, os_, ras = [], [], [], []
+        for i, (cin, co) in enumerate(layout):
+            ws.append(self.param(
+                f"w{i}", nn.initializers.lecun_normal(), (cin, co),
+                jnp.float32,
+            ))
+            gs.append(self.param(
+                f"scale{i}", nn.initializers.ones, (co,), jnp.float32
+            ))
+            os_.append(self.param(
+                f"offset{i}", nn.initializers.zeros, (co,), jnp.float32
+            ))
+            ras.append((
+                self.variable("batch_stats", f"mean{i}",
+                              nn.initializers.zeros, None, (co,), jnp.float32),
+                self.variable("batch_stats", f"var{i}",
+                              nn.initializers.ones, None, (co,), jnp.float32),
+            ))
+
+        dt = self.dtype if self.dtype is not None else x.dtype
+        xr = x.astype(dt)
+        pen = (
+            jnp.where(mask, jnp.float32(0.0), jnp.float32(1e9))
+            if mask is not None
+            else jnp.zeros((B, N), jnp.float32)
+        )
+        n = float(B * N)
+
+        if train:
+            C_last = self.features[-1]
+            # N * C_last <= 2M elements: a whole-cloud pool admits only the
+            # single-static-tile form of the 8-aligned kernel passes
+            # (ops/preextract_fused._row_tile); larger clouds fall back to
+            # the XLA reference path rather than blowing the VMEM budget
+            fused = (
+                _use_fused_pool() and B * N * C_last >= int(1e7)
+                and N * C_last <= 4 * 512 * 1024
+                and not interpret
+            ) or interpret
+            impl = mlp_pool_fused if fused else mlp_pool_reference
+            kw = {"interpret": interpret} if fused else {}
+            out, stats = impl(
+                xr, tuple(ws), tuple(gs), tuple(os_), pen, N,
+                final_relu=self.final_relu, **kw,
+            )
+            if not self.is_initializing():
+                for (ram, rav), (ss, sq) in zip(ras, stats):
+                    mean = ss / n
+                    var = jnp.maximum(sq / n - mean * mean, 0.0)
+                    ram.value = (self.momentum * ram.value
+                                 + (1.0 - self.momentum) * mean)
+                    rav.value = (self.momentum * rav.value
+                                 + (1.0 - self.momentum) * var)
+            return out[:, 0, :].astype(dt)  # (B, C_last)
+
+        # eval: running statistics (same structure as SetAbstraction eval)
+        def dense(a, w):
+            if dt == jnp.float32:
+                return jax.lax.dot_general(
+                    a, w, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return jax.lax.dot_general(
+                a.astype(dt), w.astype(dt),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+            ).astype(dt)
+
+        def bn_pre(h, i):
+            mean, var = ras[i][0].value, ras[i][1].value
+            return (h.astype(jnp.float32) - mean) * (
+                jax.lax.rsqrt(var + EPS) * gs[i]
+            ) + os_[i]
+
+        h = dense(xr, ws[0])
+        pre = bn_pre(h, 0)
+        for u in range(1, len(layout)):
+            a = jnp.maximum(pre, 0.0).astype(dt)
+            h = dense(a, ws[u])
+            pre = bn_pre(h, u)
+        v = pre - pen[..., None]
+        mx = jnp.max(v, axis=1)  # (B, C_last)
+        out = jnp.maximum(mx, 0.0) if self.final_relu else mx
+        out = jnp.where(mx < -5e8, _NEG, out)
+        return out.astype(dt)
+
+
 class PointwiseMLP(nn.Module):
     """Shared per-point MLP: Dense + BatchNorm (+ ReLU) per layer.
 
@@ -309,9 +446,9 @@ class STN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
-        h = PointwiseMLP((64, 128), dtype=self.dtype)(x, train=train)
-        h = DenseBNMaxPool(1024, final_relu=True, dtype=self.dtype)(
-            h, train=train, mask=mask
+        # one fused chain: 64 -> 128 -> 1024 + global pool (+ ReLU)
+        h = MLPChainPool((64, 128, 1024), final_relu=True, dtype=self.dtype)(
+            x, train=train, mask=mask
         )  # (B, 1024)
         for f in (512, 256):
             h = nn.Dense(f, dtype=self.dtype)(h)
@@ -346,11 +483,11 @@ class PointNetEncoder(nn.Module):
         self.stn = STN(k=self.space_dims, dtype=dt) if self.input_transform else None
         self.mlp0 = PointwiseMLP((64, 64), dtype=dt)
         self.fstn = STN(k=64, dtype=dt) if self.feature_transform else None
-        self.mlp1 = PointwiseMLP((64, 128), dtype=dt)
-        # final 128->1024 layer: Dense+BN fuse with the global max-pool
-        # (pooled BEFORE normalize — exact, see BNMaxPool/DenseBNMaxPool;
-        # reference conv3+bn3 has no ReLU, pointnet.py:159-161)
-        self.dbnpool2 = DenseBNMaxPool(1024, final_relu=False, dtype=dt)
+        # trunk tail 64 -> 128 -> 1024 + global pool as one fused chain
+        # (reference conv2/conv3+bn3 + pool, pointnet.py:152-165; conv3+bn3
+        # has no ReLU so the pooled vector stays linear)
+        self.chainpool = MLPChainPool((64, 128, 1024), final_relu=False,
+                                      dtype=dt)
 
     def _point_features(self, x, train, mask):
         if self.stn is not None:
@@ -366,17 +503,15 @@ class PointNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         check_train_mask_contract(train, mask)
         x = self._point_features(x, train, mask)
-        x = self.mlp1(x, train=train)
-        return self.dbnpool2(x, train=train, mask=mask)  # (B, 1024)
+        return self.chainpool(x, train=train, mask=mask)  # (B, 1024)
 
     def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
         """Per-point (64-d) + tiled global features, (B, N, 64+1024)
         (reference forward_all_features, pointnet.py:166-200)."""
         pointfeat = self._point_features(x, train, mask)
-        x = self.mlp1(pointfeat, train=train)
         # relu commutes with the max-pool; re-assert the all-masked sentinel
         # that relu would clamp to 0
-        glob = nn.relu(self.dbnpool2(x, train=train, mask=mask))
+        glob = nn.relu(self.chainpool(pointfeat, train=train, mask=mask))
         if mask is not None:
             glob = jnp.where(jnp.any(mask, axis=-1, keepdims=True), glob, _NEG)
         glob_tiled = jnp.broadcast_to(

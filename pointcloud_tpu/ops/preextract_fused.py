@@ -218,7 +218,8 @@ def _bnact_mm_stats_kernel(*refs, rows, r_tile, dtype, f32_dots, res_mode,
 _SENT = -1e9  # all-masked-group sentinel (models/pointnet.py masked_max)
 
 
-def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked):
+def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked,
+                       pool_relu=True):
     """v = BN(h_last) + res (PRE-relu, f32); out = relu(max_pool(v));
     lowest-index argmax + gathered h_last rows for the backward.
 
@@ -266,7 +267,10 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked):
         h3 = hf.reshape(bpt, pool, C)
         hsel = jnp.sum(jnp.where(within == amx[:, None, :], h3, 0.0), axis=1)
         off = t * bpt
-        out = jnp.maximum(mx, 0.0)
+        # pool_relu=False (e.g. PointNet's final pre-bottleneck pool,
+        # reference pointnet.py:159-161 conv3+bn3 without ReLU) emits the
+        # raw pooled post-BN value
+        out = jnp.maximum(mx, 0.0) if pool_relu else mx
         if masked:
             # all-masked groups: keep the sentinel, not relu's 0
             out = jnp.where(mx < jnp.float32(0.5 * _SENT), jnp.float32(_SENT),
@@ -286,7 +290,8 @@ def _bn_respool_kernel(*refs, rows, pool, r_tile, dtype, res_mode, masked):
 
 
 def _bwd_pass_kernel(*refs, rows, pool, r_tile, dtype, f32_dots,
-                     sparse_up, down_bn, res_mode, skip_pool, skip_dense):
+                     sparse_up, down_bn, res_mode, skip_pool, skip_dense,
+                     pool_relu=True):
     """dh_up = c1*dz_up - c4 - c3*(h_up - mu); da = dh_up @ Wt (+ shares);
     dz_down = da * 1[pre_down > 0]; accumulate Sd/Se_down and dW_up.
 
@@ -354,9 +359,12 @@ def _bwd_pass_kernel(*refs, rows, pool, r_tile, dtype, f32_dots,
             do = dout_ref[pl.ds(off, bpt), :]
             mv = maxv_ref[pl.ds(off, bpt), :]
             am = pamax_ref[pl.ds(off, bpt), :]
+            # pool_relu gates the pool cotangent at 0 (drelu); without the
+            # final relu only the all-masked sentinel groups are cut
+            gate = 0.0 if pool_relu else 0.5 * _SENT
             dz3 = jnp.where(
                 jnp.logical_and(within_u == am[:, None, :],
-                                (mv > 0.0)[:, None, :]),
+                                (mv > gate)[:, None, :]),
                 do[:, None, :], 0.0,
             )
             dz = dz3.reshape(r_tile, Cu)
@@ -470,6 +478,24 @@ def _batch_block(B, R, Cmax, isz, n_blocks=8):
     return bb
 
 
+def _feasible_bb(bb, R0, pool, Cmax):
+    """Shrink bb until every pass's row tiling is admissible.
+
+    The 8-aligned passes (pool pass, sparse backward) need either tiles of
+    a multiple-of-8 groups within the ~512K-element budget or a single
+    static tile; a whole-cloud pool (R0 == pool, e.g. PointNet's
+    MLPChainPool at N=2048 x C=1024) only admits the single-tile form,
+    which forces bb=1 (VERDICT r5: first TPU run of the chain raised
+    _row_tile's guard at bb=2)."""
+    while bb > 1:
+        try:
+            _row_tile(bb * R0, pool, Cmax, aligned=True)
+            break
+        except ValueError:
+            bb //= 2
+    return bb
+
+
 def _bspec(R, C):
     return pl.BlockSpec((None, R, C), lambda b: (b, 0, 0))
 
@@ -489,7 +515,8 @@ def _affine_scalars(ssum, ssq, gamma, beta, n):
     )
 
 
-def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
+def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None,
+             final_relu=True):
     B0, R0, Cin = x.shape
     L = len(ws)
     blocks = (L - 1) // 2
@@ -508,7 +535,9 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
     # forward keeps ~8 (R, C) buffers live, the backward re-blocks to its
     # own (smaller) bb in _bwd_vjp
     Cmax = max([Cin] + [w.shape[1] for w in ws])
-    bb = _batch_block(B0, R0, Cmax, isz, n_blocks=8)
+    bb = _feasible_bb(
+        _batch_block(B0, R0, Cmax, isz, n_blocks=8), R0, pool, Cmax
+    )
     B, R = B0 // bb, bb * R0
     x = x.reshape(B, R, Cin)
 
@@ -618,7 +647,7 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None):
     out, maxv, amax, hsel = pl.pallas_call(
         functools.partial(
             _bn_respool_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dt,
-            res_mode=pool_res, masked=not residual,
+            res_mode=pool_res, masked=not residual, pool_relu=final_relu,
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -665,7 +694,7 @@ def _zero_cot(c, shape):
     return c.astype(jnp.float32)
 
 
-def _bwd_vjp(pool, interpret, saved, cots, residual=True):
+def _bwd_vjp(pool, interpret, saved, cots, residual=True, final_relu=True):
     x, ws, gammas, betas, hs, rs, maxv, amax, hsel, stats, (B0, R0) = saved
     dout, dstats = cots
     L = len(ws)
@@ -681,7 +710,9 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
     # free bitcast on the (B0, R0(/pool), C) row-major layout.
     Cin = x.shape[-1]
     Cmax = max([Cin] + [w.shape[1] for w in ws])
-    bb = _batch_block(B0, R0, Cmax, isz, n_blocks=12)
+    bb = _feasible_bb(
+        _batch_block(B0, R0, Cmax, isz, n_blocks=12), R0, pool, Cmax
+    )
     B, R = B0 // bb, bb * R0
     nb = R // pool
     if B != x.shape[0]:
@@ -723,8 +754,10 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
         c3 = c1 * rsig * Se / n - 2.0 * dsq[l]
         return jnp.stack([c1, c4, c3, mu])
 
-    # pool layer (top): sparse dz scalars computed from pooled quantities
-    relu_m = (maxv > 0.0).astype(jnp.float32)
+    # pool layer (top): sparse dz scalars computed from pooled quantities.
+    # final_relu=False passes gradient for negative pooled values too (only
+    # the all-masked sentinel groups stay cut)
+    relu_m = (maxv > (0.0 if final_relu else 0.5 * _SENT)).astype(jnp.float32)
     dosel = dout * relu_m  # (B, nb, CL) f32
     Sd = jnp.sum(dosel, axis=(0, 1))
     mu_t, _, _, rsig_t = scs[L - 1]
@@ -808,6 +841,7 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True):
                 _bwd_pass_kernel, rows=R, pool=pool, r_tile=r_tile, dtype=dt,
                 f32_dots=f32_dots, sparse_up=sparse_up, down_bn=down_bn,
                 res_mode=res_mode, skip_pool=skip_pool, skip_dense=skip_dense,
+                pool_relu=final_relu,
             ),
             grid=(B,),
             in_specs=in_specs,
@@ -924,8 +958,9 @@ def preextract_pool_reference(x, ws, gammas, betas, pool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def mlp_pool_fused(x, ws, gammas, betas, pen, pool, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def mlp_pool_fused(x, ws, gammas, betas, pen, pool, interpret=False,
+                   final_relu=True):
     """SetAbstraction body as the fused chain (reference
     pointnet2_utils.py:167-208): L plain Dense+BN+ReLU layers over the
     grouped rows, then a masked max-pool over each `pool`-row group.
@@ -934,31 +969,37 @@ def mlp_pool_fused(x, ws, gammas, betas, pen, pool, interpret=False):
     pen (B, R) f32 — +BIG on rows excluded from the pool (out-of-ball
     padding; they still feed BN statistics, the documented mask contract).
     All-masked groups emit the masked_max sentinel (-1e9) and receive no
-    gradient. Returns (pooled (B, R//pool, C_last), per-layer (ssum, ssq)).
+    gradient. final_relu=False skips the post-pool relu (PointNet's final
+    conv3+bn3+pool has none, reference pointnet.py:159-161) — the pooled
+    post-BN value is emitted raw and its gradient is not relu-gated.
+    Returns (pooled (B, R//pool, C_last), per-layer (ssum, ssq)).
     """
     return _forward(
-        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen
+        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen,
+        final_relu=final_relu,
     )[0]
 
 
-def _mlp_fwd_vjp(x, ws, gammas, betas, pen, pool, interpret):
+def _mlp_fwd_vjp(x, ws, gammas, betas, pen, pool, interpret,
+                 final_relu=True):
     out, saved = _forward(
-        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen
+        x, ws, gammas, betas, pool, interpret, residual=False, pen=pen,
+        final_relu=final_relu,
     )
     return out, (saved, x.shape[:2])
 
 
-def _mlp_bwd_vjp(pool, interpret, res, cots):
+def _mlp_bwd_vjp(pool, interpret, final_relu, res, cots):
     saved, (B, R) = res
     dx, dws, dgs, dbs = _bwd_vjp(pool, interpret, saved, cots,
-                                 residual=False)
+                                 residual=False, final_relu=final_relu)
     return dx, dws, dgs, dbs, jnp.zeros((B, R), jnp.float32)
 
 
 mlp_pool_fused.defvjp(_mlp_fwd_vjp, _mlp_bwd_vjp)
 
 
-def mlp_pool_reference(x, ws, gammas, betas, pen, pool):
+def mlp_pool_reference(x, ws, gammas, betas, pen, pool, final_relu=True):
     """XLA oracle of mlp_pool_fused (identical op-for-op semantics)."""
     B, R, Cin = x.shape
     L = len(ws)
@@ -1001,6 +1042,6 @@ def mlp_pool_reference(x, ws, gammas, betas, pen, pool):
     v4 = v.reshape(B, nb, pool, CL)
     am = jnp.argmax(v4, axis=2)
     mx = jnp.take_along_axis(v4, am[:, :, None, :], axis=2)[:, :, 0, :]
-    out = relu(mx)
+    out = relu(mx) if final_relu else mx
     out = jnp.where(mx < 0.5 * _SENT, _SENT, out).astype(dt)
     return out, tuple(stats)

@@ -349,3 +349,86 @@ def test_localgrouper_std_matches_unbiased_oracle(rng):
     want = 1.5 * normed - 0.25
     got = np.asarray(grouped)[..., :D]  # first D dims = normalized feats
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("final_relu", [True, False])
+@pytest.mark.parametrize("train", [True, False])
+def test_mlp_chain_pool_matches_composition(rng, train, final_relu):
+    """MLPChainPool == PointwiseMLP(features[:-1]) + DenseBNMaxPool(last):
+    same values (params synced; composition biases zero) in train (batch
+    stats) and eval (running stats), with a mask, plus matching input
+    gradients in train mode."""
+    import flax.linen as nn
+
+    from pointcloud_tpu.models.pointnet import (
+        DenseBNMaxPool,
+        MLPChainPool,
+        PointwiseMLP,
+    )
+
+    feats = (8, 12, 16)
+    Bc, Nc, Cin = 3, 32, 5
+    x = jnp.asarray(rng.standard_normal((Bc, Nc, Cin)).astype(np.float32))
+    mask = jnp.asarray(rng.random((Bc, Nc)) > 0.2)
+
+    chain = MLPChainPool(feats, final_relu=final_relu)
+    cv = chain.init(jax.random.PRNGKey(0), x, train=True)
+
+    class Comp(nn.Module):
+        @nn.compact
+        def __call__(self, xx, train=False, mask=None):
+            h = PointwiseMLP(feats[:-1])(xx, train=train)
+            return DenseBNMaxPool(feats[-1], final_relu=final_relu,
+                                  use_bias=False)(h, train=train, mask=mask)
+
+    comp = Comp()
+    pv = comp.init(jax.random.PRNGKey(1), x, train=True)
+
+    # sync composition params from the chain's
+    p = jax.tree_util.tree_map(lambda a: a, pv)  # deep copy
+    cp = cv["params"]
+    p["params"]["PointwiseMLP_0"]["Dense_0"]["kernel"] = cp["w0"]
+    p["params"]["PointwiseMLP_0"]["Dense_1"]["kernel"] = cp["w1"]
+    p["params"]["PointwiseMLP_0"]["BatchNorm_0"]["scale"] = cp["scale0"]
+    p["params"]["PointwiseMLP_0"]["BatchNorm_0"]["bias"] = cp["offset0"]
+    p["params"]["PointwiseMLP_0"]["BatchNorm_1"]["scale"] = cp["scale1"]
+    p["params"]["PointwiseMLP_0"]["BatchNorm_1"]["bias"] = cp["offset1"]
+    p["params"]["DenseBNMaxPool_0"]["kernel"] = cp["w2"]
+    p["params"]["DenseBNMaxPool_0"]["scale"] = cp["scale2"]
+    p["params"]["DenseBNMaxPool_0"]["offset"] = cp["offset2"]
+    # zero the composition Dense biases (absorbed by BN; chain has none)
+    p["params"]["PointwiseMLP_0"]["Dense_0"]["bias"] = jnp.zeros(feats[0])
+    p["params"]["PointwiseMLP_0"]["Dense_1"]["bias"] = jnp.zeros(feats[1])
+
+    if train:
+        co, cmut = chain.apply(cv, x, train=True, mask=mask,
+                               mutable=["batch_stats"])
+        po, pmut = comp.apply(p, x, train=True, mask=mask,
+                              mutable=["batch_stats"])
+    else:
+        # push one identical train step through both to populate stats
+        _, cmut = chain.apply(cv, x, train=True, mask=mask,
+                              mutable=["batch_stats"])
+        _, pmut = comp.apply(p, x, train=True, mask=mask,
+                             mutable=["batch_stats"])
+        co = chain.apply({**cv, **cmut}, x, train=False, mask=mask)
+        po = comp.apply({**p, **pmut}, x, train=False, mask=mask)
+
+    np.testing.assert_allclose(np.asarray(co), np.asarray(po),
+                               rtol=3e-5, atol=3e-5)
+
+    if train:
+        def loss_c(xx):
+            o, _ = chain.apply(cv, xx, train=True, mask=mask,
+                               mutable=["batch_stats"])
+            return jnp.sum(jnp.where(o > -1e8, o * o, 0.0))
+
+        def loss_p(xx):
+            o, _ = comp.apply(p, xx, train=True, mask=mask,
+                              mutable=["batch_stats"])
+            return jnp.sum(jnp.where(o > -1e8, o * o, 0.0))
+
+        gc = jax.grad(loss_c)(x)
+        gp = jax.grad(loss_p)(x)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gp),
+                                   rtol=2e-4, atol=2e-4)

@@ -297,3 +297,43 @@ def test_set_abstraction_fused_matches_reference_path(rng):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ro),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_plain_chain_final_relu_false(rng, dtype):
+    """final_relu=False (PointNet conv3+bn3+pool, no post-pool ReLU):
+    fused == oracle for values AND gradients, and negative pooled values
+    actually survive (the relu-less path is exercised)."""
+    x, ws, gs, bs, pen = _plain_inputs(rng, dtype=dtype)
+    out, _ = mlp_pool_fused(x, ws, gs, bs, pen, 4, True, False)
+    rout, _ = mlp_pool_reference(x, ws, gs, bs, pen, 4, final_relu=False)
+    tol = 1e-5 if dtype == jnp.float32 else 1e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(rout, np.float32),
+        rtol=tol, atol=tol,
+    )
+    finite = np.asarray(out, np.float32)
+    finite = finite[finite > -1e8]
+    assert (finite < 0).any(), "no negative pooled values - relu-less path untested"
+
+    if dtype == jnp.float32:
+        cw = jnp.asarray(rng.standard_normal((2, 12, 24)).astype(np.float32))
+
+        def loss(fn, **kw):
+            def f(x, ws, gs, bs):
+                out, _ = fn(x, ws, gs, bs, pen, 4, **kw)
+                return jnp.sum(jnp.where(out > -1e8, out * cw, 0.0))
+            return f
+
+        gf = jax.grad(
+            loss(lambda *a, **k: mlp_pool_fused(*a, True, **k),
+                 final_relu=False),
+            argnums=(0, 1, 2, 3))(x, ws, gs, bs)
+        gr = jax.grad(loss(mlp_pool_reference, final_relu=False),
+                      argnums=(0, 1, 2, 3))(x, ws, gs, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-4, atol=2e-4,
+            )
