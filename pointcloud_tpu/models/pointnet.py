@@ -289,9 +289,17 @@ class MLPChainPool(nn.Module):
     In train mode on TPU the whole chain rides ops/preextract_fused.
     mlp_pool_fused (plain-chain mode): BN statistics accumulate in each
     matmul's epilogue and the post-BN (B, N, C) tensors never reach HBM —
-    the same machinery as PointNet2's SetAbstraction, applied to PointNet's
-    STN bodies and trunk tail (VERDICT r4: the remaining PointNet step was
-    BN-stack HBM traffic).
+    the same machinery as PointNet2's SetAbstraction.
+
+    NEGATIVE RESULT (r5, measured): for PointNet's own 64->128->1024
+    whole-cloud chains this LOSES to the PointwiseMLP + DenseBNMaxPool
+    composition — 5.10/10.94 ms fwd+bwd (B=32/256) vs 4.08/9.08. A
+    whole-cloud pool admits only bb=1 (single-static-tile 8-aligned
+    passes), so the chain pays ~B grid steps of per-step overhead per
+    pass, while dense_pool_stats batch-blocks and XLA already handles
+    narrow BN layers well. The encoder therefore keeps the composition;
+    this module remains for chains whose pool windows are small relative
+    to the row count (where bb can stay > 1).
 
     Dense layers are bias-free: a pre-BN bias is exactly absorbed by the
     normalization in train mode and receives exactly-zero gradient, so it is
@@ -446,9 +454,9 @@ class STN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask: Array | None = None):
-        # one fused chain: 64 -> 128 -> 1024 + global pool (+ ReLU)
-        h = MLPChainPool((64, 128, 1024), final_relu=True, dtype=self.dtype)(
-            x, train=train, mask=mask
+        h = PointwiseMLP((64, 128), dtype=self.dtype)(x, train=train)
+        h = DenseBNMaxPool(1024, final_relu=True, dtype=self.dtype)(
+            h, train=train, mask=mask
         )  # (B, 1024)
         for f in (512, 256):
             h = nn.Dense(f, dtype=self.dtype)(h)
@@ -483,11 +491,16 @@ class PointNetEncoder(nn.Module):
         self.stn = STN(k=self.space_dims, dtype=dt) if self.input_transform else None
         self.mlp0 = PointwiseMLP((64, 64), dtype=dt)
         self.fstn = STN(k=64, dtype=dt) if self.feature_transform else None
-        # trunk tail 64 -> 128 -> 1024 + global pool as one fused chain
-        # (reference conv2/conv3+bn3 + pool, pointnet.py:152-165; conv3+bn3
-        # has no ReLU so the pooled vector stays linear)
-        self.chainpool = MLPChainPool((64, 128, 1024), final_relu=False,
-                                      dtype=dt)
+        self.mlp1 = PointwiseMLP((64, 128), dtype=dt)
+        # final 128->1024 layer: Dense+BN fuse with the global max-pool
+        # (pooled BEFORE normalize — exact, see BNMaxPool/DenseBNMaxPool;
+        # reference conv3+bn3 has no ReLU, pointnet.py:159-161).
+        # NOT the MLPChainPool fused chain: measured A/B (r5) has this
+        # composition at 4.08/9.08 ms fwd+bwd (B=32/256) vs the chain's
+        # 5.10/10.94 — the whole-cloud pool forces the chain to bb=1 and
+        # ~B grid steps of per-step overhead, while dense_pool_stats
+        # batch-blocks freely and XLA handles the 64/128-wide BN layers.
+        self.dbnpool2 = DenseBNMaxPool(1024, final_relu=False, dtype=dt)
 
     def _point_features(self, x, train, mask):
         if self.stn is not None:
@@ -503,15 +516,17 @@ class PointNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False, mask: Array | None = None):
         check_train_mask_contract(train, mask)
         x = self._point_features(x, train, mask)
-        return self.chainpool(x, train=train, mask=mask)  # (B, 1024)
+        x = self.mlp1(x, train=train)
+        return self.dbnpool2(x, train=train, mask=mask)  # (B, 1024)
 
     def forward_all_features(self, x, train: bool = False, mask: Array | None = None):
         """Per-point (64-d) + tiled global features, (B, N, 64+1024)
         (reference forward_all_features, pointnet.py:166-200)."""
         pointfeat = self._point_features(x, train, mask)
+        x = self.mlp1(pointfeat, train=train)
         # relu commutes with the max-pool; re-assert the all-masked sentinel
         # that relu would clamp to 0
-        glob = nn.relu(self.chainpool(pointfeat, train=train, mask=mask))
+        glob = nn.relu(self.dbnpool2(x, train=train, mask=mask))
         if mask is not None:
             glob = jnp.where(jnp.any(mask, axis=-1, keepdims=True), glob, _NEG)
         glob_tiled = jnp.broadcast_to(
