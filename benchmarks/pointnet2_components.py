@@ -25,7 +25,7 @@ probes = sys.argv[2:] or [
     "fps1", "fps2", "ball1", "ball2", "chain1", "chain2", "chain3",
     "chamfer",
 ]
-REPS = 10
+REPS = int(os.environ.get("REPS", "10"))
 rng = np.random.default_rng(0)
 
 
@@ -134,6 +134,8 @@ BUILDERS = {
     "ball1": lambda: ball_probe(2048, 512, 32, 0.2, 3),
     # SA2: feats = SA1's 128-d output
     "ball2": lambda: ball_probe(512, 128, 64, 0.4, 128),
+    "ball1f": lambda: ball_probe(2048, 512, 32, 0.2, 3, bwd=False),
+    "ball2f": lambda: ball_probe(512, 128, 64, 0.4, 128, bwd=False),
     "chain1": lambda: chain_probe(512, 32, 3 + 3, (64, 64, 128)),
     "chain2": lambda: chain_probe(128, 64, 128 + 3, (128, 128, 256)),
     "chain3": lambda: chain_probe(1, 128, 256 + 3, (256, 512, 1024)),
