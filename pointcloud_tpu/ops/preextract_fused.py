@@ -452,6 +452,17 @@ def _vmem(*byte_counts):
     return min(sum(byte_counts) + (16 << 20), 120 << 20)
 
 
+def _gen(C):
+    """Grant-model scale: 1 = the tile model calibrated on the shipped
+    PointNet2/PointMLP shapes (C >= 128). At narrow C (<= 64) Mosaic's
+    measured stack need exceeds that model (PointMLPElite stage 1: 96 MB
+    demanded vs 73 granted in the layer pass, 104 vs 100 in the pool pass
+    — compile OOM, r5), so those shapes get ~1.6x; keeping the tight model
+    where it is known-sufficient avoids the ~1.6 ms/stage cost of blanket
+    over-granting measured on full-PointMLP stage 1."""
+    return 1.6 if C <= 64 else 1.0
+
+
 def _batch_block(B, R, Cmax, isz, n_blocks=8):
     """Batch elements fused per grid step.
 
@@ -560,9 +571,9 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None,
             jax.ShapeDtypeStruct((1, C0), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem(
+            vmem_limit_bytes=_vmem(int(_gen(max(Cin, C0)) * (
                 6 * r_tile * max(Cin, C0) * 4 + 4 * R * max(Cin, C0) * isz
-            )
+            )))
         ),
         interpret=interpret,
     )(x, ws_c[0])
@@ -607,10 +618,10 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem(
+                vmem_limit_bytes=_vmem(int(_gen(max(Cd, Cu)) * (
                     8 * r_tile * max(Cd, Cu) * 4
                     + 8 * R * max(Cd, Cu) * isz
-                )
+                )))
             ),
             interpret=interpret,
         )(*ins)
@@ -661,7 +672,9 @@ def _forward(x, ws, gammas, betas, pool, interpret, residual=True, pen=None,
             jax.ShapeDtypeStruct((B, nb, CL), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem(8 * r_tile * CL * 4 + 6 * R * CL * isz)
+            vmem_limit_bytes=_vmem(int(_gen(CL) * (
+                8 * r_tile * CL * 4 + 6 * R * CL * isz
+            )))
         ),
         interpret=interpret,
     )(*ins)
@@ -851,10 +864,10 @@ def _bwd_vjp(pool, interpret, saved, cots, residual=True, final_relu=True):
             compiler_params=pltpu.CompilerParams(
                 # stack: ~14 live f32 (r_tile, C) temporaries; io: the
                 # per-b (R, C) pipeline blocks, double-buffered
-                vmem_limit_bytes=_vmem(
+                vmem_limit_bytes=_vmem(int(_gen(max(Cd, Cu)) * (
                     14 * r_tile * max(Cd, Cu) * 4
                     + 12 * R * max(Cd, Cu) * isz
-                )
+                )))
             ),
             interpret=interpret,
         )(*ins)
