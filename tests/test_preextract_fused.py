@@ -337,3 +337,25 @@ def test_plain_chain_final_relu_false(rng, dtype):
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=2e-4, atol=2e-4,
             )
+
+
+def test_vmem_grants_cover_measured_mosaic_demand():
+    """Regression guard for the r5 PointMLPElite compile OOM: the VMEM
+    grants for the chain passes at Elite's wide-R narrow-C stage-1 shapes
+    must stay at or above Mosaic's MEASURED stack demand (96 MB for the
+    bb=4 forward layer pass, 104 MB for the pool pass — the exact failures
+    observed on TPU before the _gen() shape-aware scale landed)."""
+    from pointcloud_tpu.ops.preextract_fused import _gen, _row_tile, _vmem
+
+    # Elite stage 1 forward at bb=4: B0=32, R0=24576, C=64, bf16
+    R, C, isz = 4 * 24576, 64, 2
+    r_tile = _row_tile(R, 24, C)
+    layer_grant = _vmem(int(_gen(C) * (6 * r_tile * C * 4 + 4 * R * C * isz)))
+    assert layer_grant >= 96 << 20, layer_grant
+
+    r_tile_p = _row_tile(R, 24, C, aligned=True)
+    pool_grant = _vmem(int(_gen(C) * (8 * r_tile_p * C * 4 + 6 * R * C * isz)))
+    assert pool_grant >= 104 << 20, pool_grant
+
+    # and the tight model stays tight where it was calibrated (C >= 128)
+    assert _gen(128) == 1.0 and _gen(64) > 1.0
